@@ -1,0 +1,68 @@
+"""Headline benchmark: decoded codewords/s/chip, TM8192 (k=4096, r=1/2).
+
+Protocol mirrors the reference's decode microbenchmark scenario
+(benches/decode.rs:39-71): encode a codeword, flip 3 bits in byte 0, min-sum
+decode with maxiters=50 (converges in a few iterations), f32 LLRs. We run a
+large batch, steady-state timed over several repetitions on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio against the first recorded value of this same bench if present in
+BENCH_BASELINE.json, else 1.0.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from labrador_ldpc_tpu.codes.params import get_code
+    from labrador_ldpc_tpu.ops.convert import hard_to_llrs
+    from labrador_ldpc_tpu.ops.encoder import encode
+    from labrador_ldpc_tpu.ops.minsum import make_ms_decoder
+
+    code = get_code("TM8192")
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, (B, code.k // 8), dtype=np.uint8)
+    cw = np.array(encode(code, jnp.asarray(data)))
+    cw[:, 0] ^= (1 << 7) | (1 << 5) | (1 << 3)  # benches/decode.rs:52
+    llrs = jax.device_put(hard_to_llrs(jnp.asarray(cw), jnp.float32))
+
+    decoder = make_ms_decoder(code, jnp.float32, maxiters=50)
+    res = decoder(llrs)  # compile + warmup
+    jax.block_until_ready(res)
+    assert bool(np.asarray(res.success).all()), "bench decode must converge"
+
+    reps = 5
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(decoder(llrs))
+        best = min(best, time.perf_counter() - t0)
+    cw_per_s = B / best
+
+    baseline_file = Path(__file__).parent / "BENCH_BASELINE.json"
+    vs = 1.0
+    if baseline_file.exists():
+        base = json.loads(baseline_file.read_text()).get("value")
+        if base:
+            vs = cw_per_s / base
+    print(json.dumps({
+        "metric": "TM8192_minsum_f32_decode_throughput",
+        "value": round(cw_per_s, 1),
+        "unit": "codewords/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from .awgn import ChannelStats, make_trial_step, noise_sigma
+from .waterfall import DEFAULT_SNRS_TC512, SnrPoint, waterfall
+
+__all__ = ["ChannelStats", "make_trial_step", "noise_sigma",
+           "SnrPoint", "waterfall", "DEFAULT_SNRS_TC512"]

@@ -1,0 +1,92 @@
+"""Channel simulation: modulation, AWGN, soft demodulation.
+
+TPU-native counterpart of the reference perftest's trial generator
+(perftest/src/main.rs:9-29): random data -> encode -> +-1 LLR mapping ->
+Gaussian noise on the LLRs -> min-sum decode -> error counting, but batched
+and jit-compiled end to end with `jax.random`.
+
+Two noise models:
+  * "perftest": the reference's exact convention — noise sigma = 10^(-snr/10)
+    added directly to +-1 LLRs (NOT a physical Es/N0; the LLRs are not
+    2y/sigma^2 scaled, which is valid because min-sum is scale-invariant,
+    decoder.rs:332-335). Use this to reproduce the reference waterfall
+    curves point for point.
+  * "ebn0": physical BPSK over AWGN at Eb/N0 dB — sigma^2 = 1/(2 R 10^(x/10))
+    with R = k/n; LLRs again left unscaled (scale invariance).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..codes.params import LDPCCode, get_code
+from ..ops.convert import pack_bits
+from ..ops.encoder import encode_bits
+from ..ops.minsum import make_ms_decoder
+
+__all__ = ["ChannelStats", "make_trial_step", "noise_sigma"]
+
+
+class ChannelStats(NamedTuple):
+    trials: jnp.ndarray  # () int64-ish — codewords attempted
+    bit_errors: jnp.ndarray  # () — data-bit errors after decoding
+    frame_errors: jnp.ndarray  # () — codewords with any data-bit error
+    decode_failures: jnp.ndarray  # () — decoder reported non-convergence
+    iterations: jnp.ndarray  # () — total decoder iterations run
+
+
+def noise_sigma(snr_db: float, code: LDPCCode | None = None, model: str = "perftest") -> float:
+    if model == "perftest":
+        # perftest/src/main.rs:15 — sigma = 10^(-snr/10)
+        return float(10.0 ** (-snr_db / 10.0))
+    if model == "ebn0":
+        assert code is not None
+        rate = code.k / code.n
+        return float((2.0 * rate * 10.0 ** (snr_db / 10.0)) ** -0.5)
+    raise ValueError(f"unknown noise model {model!r}")
+
+
+@lru_cache(maxsize=None)
+def make_trial_step(
+    code: LDPCCode | str,
+    batch: int,
+    maxiters: int = 100,
+    dtype_name: str = "float32",
+    alpha: float | None = None,
+):
+    """Build a jitted end-to-end trial step.
+
+    Returns fn(key, sigma) -> ChannelStats running `batch` codewords:
+    random data -> encode -> BPSK +-1 -> AWGN(sigma) -> min-sum -> counters.
+    The whole pipeline is one XLA program; under a sharded batch axis the
+    final counter sums become psums over the mesh.
+    """
+    code = get_code(code)
+    p = code.params
+    dtype = jnp.dtype(dtype_name)
+    decoder = make_ms_decoder(code, dtype, maxiters, alpha)
+
+    def step(key: jax.Array, sigma: jnp.ndarray) -> ChannelStats:
+        kd, kn = jax.random.split(key)
+        data_bits = jax.random.bernoulli(kd, 0.5, (batch, p.k)).astype(jnp.uint8)
+        cw_bits = encode_bits(code, data_bits)  # (B, n)
+        # bit 1 -> -1, bit 0 -> +1 (hard_to_llrs convention, decoder.rs:488-492)
+        tx = 1.0 - 2.0 * cw_bits.astype(jnp.float32)
+        noise = jax.random.normal(kn, tx.shape, jnp.float32) * sigma
+        llrs = (tx + noise).astype(dtype)
+        res = decoder(llrs)
+        data_hat = res.bits[:, : p.k]
+        bit_err = (data_hat != data_bits).sum(dtype=jnp.int32, axis=1)  # (B,)
+        return ChannelStats(
+            trials=jnp.asarray(batch, jnp.int32),
+            bit_errors=bit_err.sum(dtype=jnp.int32),
+            frame_errors=(bit_err > 0).sum(dtype=jnp.int32),
+            decode_failures=(~res.success).sum(dtype=jnp.int32),
+            iterations=res.iterations.sum(dtype=jnp.int32),
+        )
+
+    return jax.jit(step)

@@ -1,0 +1,290 @@
+"""Slow NumPy oracle codec: a faithful semantic re-implementation of the
+reference decoders, used ONLY as a differential-test oracle and to regenerate
+BER baselines at small scale.
+
+This is intentionally scalar/loopy: it follows the reference's algorithms
+step by step (same edge order, same saturating arithmetic, same
+self-correction rule) so the batched TPU decoders can be tested for
+bit-exact agreement against it.
+
+Semantics ported from:
+  * min-sum:   src/decoder.rs:347-475 (self-corrected min-sum, Savin 2008)
+  * bit-flip:  src/decoder.rs:243-301
+  * erasures:  src/decoder.rs:144-223 (incl. the bits_fixed accounting quirk:
+               it accumulates the still-erased count across iterations, so it
+               reaches p at the end of iteration 0 and the function always
+               returns (True, 0) when maxiters > 0 — see SURVEY.md §2 row 9)
+  * hard/LLR:  src/decoder.rs:484-509
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..codes.expand import generator_parity_matrix, parity_edges
+from ..codes.params import LDPCCode, get_code
+
+# ---------------------------------------------------------------------------
+# dtype policies mirroring the reference's DecodeFrom impls (decoder.rs:42-86)
+
+
+class _F32Ops:
+    dtype = np.float32
+    maxval = np.float32(np.finfo(np.float32).max)
+
+    @staticmethod
+    def abs(x):
+        return np.float32(abs(float(x)))
+
+    @staticmethod
+    def add(a, b):
+        return np.float32(np.float32(a) + np.float32(b))
+
+    @staticmethod
+    def sub(a, b):
+        return np.float32(np.float32(a) - np.float32(b))
+
+    @staticmethod
+    def hard(x) -> bool:
+        return float(x) < 0.0
+
+
+class _I8Ops:
+    dtype = np.int8
+    maxval = np.int8(127)
+
+    @staticmethod
+    def abs(x):
+        x = int(x)
+        return np.int8(min(abs(x), 127))  # saturating_abs: |-128| -> 127
+
+    @staticmethod
+    def add(a, b):
+        return np.int8(max(-128, min(127, int(a) + int(b))))
+
+    @staticmethod
+    def sub(a, b):
+        return np.int8(max(-128, min(127, int(a) - int(b))))
+
+    @staticmethod
+    def hard(x) -> bool:
+        return int(x) < 0
+
+
+class _I16Ops(_I8Ops):
+    dtype = np.int16
+    maxval = np.int16(32767)
+
+    @staticmethod
+    def abs(x):
+        return np.int16(min(abs(int(x)), 32767))
+
+    @staticmethod
+    def add(a, b):
+        return np.int16(max(-32768, min(32767, int(a) + int(b))))
+
+    @staticmethod
+    def sub(a, b):
+        return np.int16(max(-32768, min(32767, int(a) - int(b))))
+
+
+_OPS = {np.float32: _F32Ops, np.int8: _I8Ops, np.int16: _I16Ops,
+        np.dtype(np.float32): _F32Ops, np.dtype(np.int8): _I8Ops, np.dtype(np.int16): _I16Ops}
+
+
+# ---------------------------------------------------------------------------
+# bit packing helpers (MSB-first, as the reference's byte conventions)
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    return np.packbits(np.asarray(bits, dtype=np.uint8))
+
+
+def unpack_bits(data: np.ndarray, nbits: int | None = None) -> np.ndarray:
+    bits = np.unpackbits(np.asarray(data, dtype=np.uint8))
+    return bits if nbits is None else bits[:nbits]
+
+
+# ---------------------------------------------------------------------------
+# encode (dense matmul against the expanded generator; validated against the
+# reference's golden parity vectors in tests)
+
+
+def encode(code: LDPCCode | str, data_bytes: np.ndarray) -> np.ndarray:
+    """Systematic encode: k/8 data bytes -> n/8 codeword bytes."""
+    code = get_code(code)
+    p = code.params
+    data_bytes = np.asarray(data_bytes, dtype=np.uint8)
+    assert data_bytes.size == p.k // 8
+    dbits = unpack_bits(data_bytes)
+    parity = (dbits @ generator_parity_matrix(code)) & 1
+    return np.concatenate([data_bytes, pack_bits(parity)])
+
+
+def hard_to_llrs(code: LDPCCode | str, input_bytes: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """bit 1 -> -1, bit 0 -> +1 (decoder.rs:484-493)."""
+    code = get_code(code)
+    bits = unpack_bits(input_bytes, code.n)
+    return np.where(bits == 1, -1, 1).astype(dtype)
+
+
+def llrs_to_hard(code: LDPCCode | str, llrs: np.ndarray) -> np.ndarray:
+    """sign -> packed bits MSB-first (decoder.rs:498-509)."""
+    return pack_bits((np.asarray(llrs) < 0).astype(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# min-sum decoder (decoder.rs:347-475)
+
+
+def decode_ms(code: LDPCCode | str, llrs: np.ndarray, maxiters: int = 20):
+    """Self-corrected min-sum decode of one codeword.
+
+    Returns (success, iters, output_bytes) with output (n+p)/8 bytes,
+    matching the reference's return convention (iters is the 0-based
+    iteration index at convergence, or maxiters on failure).
+    """
+    code = get_code(code)
+    ops = _OPS[np.asarray(llrs).dtype]
+    p = code.params
+    n, k, pb = p.n, p.k, p.punctured_bits
+    E, Cn, Vn = p.paritycheck_sum, p.n_checks, p.n_vars
+    edges = parity_edges(code)
+    llrs = np.asarray(llrs, dtype=ops.dtype)
+    assert llrs.size == n
+
+    u = np.zeros(E, dtype=ops.dtype)
+    v = np.zeros(E, dtype=ops.dtype)
+    va = np.zeros(Vn, dtype=ops.dtype)
+    ui_min1 = np.zeros(Cn, dtype=ops.dtype)
+    ui_min2 = np.zeros(Cn, dtype=ops.dtype)
+    ui_sgns = np.zeros(Cn, dtype=bool)
+    parities = np.zeros(Cn, dtype=bool)
+
+    def hard_output():
+        return pack_bits((_hard_vec(va, ops)).astype(np.uint8))
+
+    for it in range(maxiters):
+        va[:n] = llrs
+        va[n:] = 0
+        # sweep 1: u from (min1|min2, signs); accumulate marginals
+        for idx in range(E):
+            chk, var = edges[idx]
+            if ops.abs(v[idx]) == ui_min1[chk]:
+                u[idx] = ui_min2[chk]
+            else:
+                u[idx] = ui_min1[chk]
+            if ui_sgns[chk]:
+                u[idx] = -u[idx]
+            if ops.hard(v[idx]):
+                u[idx] = -u[idx]
+            va[var] = ops.add(va[var], u[idx])
+        # sweep 2: v with self-correction; min1/min2/sgns; parity of va
+        ui_min1[:] = ops.maxval
+        ui_min2[:] = ops.maxval
+        ui_sgns[:] = False
+        parities[:] = False
+        for idx in range(E):
+            chk, var = edges[idx]
+            new_v = ops.sub(va[var], u[idx])
+            if ops.hard(new_v) == ops.hard(v[idx]) or v[idx] == 0:
+                v[idx] = new_v
+            else:
+                v[idx] = 0
+            av = ops.abs(v[idx])
+            if av < ui_min1[chk]:
+                ui_min2[chk] = ui_min1[chk]
+                ui_min1[chk] = av
+            elif av < ui_min2[chk]:
+                ui_min2[chk] = av
+            if ops.hard(v[idx]):
+                ui_sgns[chk] = not ui_sgns[chk]
+            if ops.hard(va[var]):
+                parities[chk] = not parities[chk]
+        if not parities.any():
+            return True, it, hard_output()
+    return False, maxiters, hard_output()
+
+
+def _hard_vec(x: np.ndarray, ops) -> np.ndarray:
+    return np.array([ops.hard(xi) for xi in x], dtype=bool)
+
+
+# ---------------------------------------------------------------------------
+# erasure decoder (decoder.rs:144-223)
+
+
+def decode_erasures(code: LDPCCode | str, codeword_bytes: np.ndarray, maxiters: int = 20):
+    """Fix punctured (never-transmitted) bits of a hard codeword.
+
+    `codeword_bytes` must be (n+p)/8 long with the first n/8 bytes set;
+    returns (success, iters, fixed_codeword_bytes).
+    """
+    code = get_code(code)
+    p = code.params
+    n, pb, Vn = p.n, p.punctured_bits, p.n_vars
+    edges = parity_edges(code)
+    bits = unpack_bits(codeword_bytes, Vn).astype(np.uint8)
+    bits[n:] = 0
+    erased = np.zeros(Vn, dtype=bool)
+    erased[n:] = True
+
+    bits_fixed = 0
+    for it in range(maxiters):
+        # per-check: parity over non-erased vars; erasure count saturating at 2
+        parity = np.zeros(p.n_checks, dtype=np.uint8)
+        ecount = np.zeros(p.n_checks, dtype=np.int64)
+        for chk, var in edges:
+            if erased[var]:
+                ecount[chk] = min(ecount[chk] + 1, 2)
+            elif bits[var]:
+                parity[chk] ^= 1
+        # single-erasure checks vote +-1 on their erased var
+        votes = np.zeros(Vn, dtype=np.int64)
+        for chk, var in edges:
+            if erased[var] and ecount[chk] == 1:
+                votes[var] += 1 if parity[chk] else -1
+        # fix majority-1 vars; count every still-erased var (reference quirk)
+        for var in range(n, Vn):
+            if erased[var]:
+                if votes[var] > 0:
+                    bits[var] = 1
+                    erased[var] = False
+                bits_fixed += 1
+        if bits_fixed == pb:
+            return True, it, pack_bits(bits)
+    return False, maxiters, pack_bits(bits)
+
+
+# ---------------------------------------------------------------------------
+# bit-flipping decoder (decoder.rs:243-301)
+
+
+def decode_bf(code: LDPCCode | str, input_bytes: np.ndarray, maxiters: int = 20):
+    """Hard-decision bit-flip decode. Returns (success, iters, output_bytes)."""
+    code = get_code(code)
+    p = code.params
+    n, Vn = p.n, p.n_vars
+    edges = parity_edges(code)
+
+    out = np.zeros(p.output_len, dtype=np.uint8)
+    out[: n // 8] = np.asarray(input_bytes, dtype=np.uint8)
+    erasure_iters = 0
+    if p.punctured_bits > 0:
+        _, erasure_iters, fixed = decode_erasures(code, out, maxiters)
+        out = fixed.copy()
+
+    bits = unpack_bits(out, Vn).astype(np.uint8)
+    for it in range(maxiters):
+        parity = np.zeros(p.n_checks, dtype=np.uint8)
+        for chk, var in edges:
+            parity[chk] ^= bits[var]
+        violations = np.zeros(Vn, dtype=np.int64)
+        for chk, var in edges:
+            if parity[chk]:
+                violations[var] += 1
+        mx = violations.max()
+        if mx == 0:
+            return True, it + erasure_iters, pack_bits(bits)
+        bits ^= (violations == mx).astype(np.uint8)
+    return False, maxiters + erasure_iters, pack_bits(bits)

@@ -1,0 +1,155 @@
+"""Decoder tests: differential equality against the NumPy oracle and the
+reference's self-test scenarios (3-bit corruption recovery, erasure/min-sum
+cross-decoder consistency, decoder.rs:607-699)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from labrador_ldpc_tpu.codes.params import ALL_CODES, get_code
+from labrador_ldpc_tpu.ops import bitflip, convert, encoder, minsum
+from labrador_ldpc_tpu.utils import oracle
+
+# exhaustive oracle comparison is slow on big codes; use a spread of sizes
+SMALL = ["TC128", "TC256", "TM1280"]
+ALL9 = [c.value for c in ALL_CODES]
+
+
+def _tx(code, B):
+    c = get_code(code)
+    return (np.arange(c.k // 8, dtype=np.uint8)[None, :] + np.arange(B, dtype=np.uint8)[:, None])
+
+
+def _corrupt(cw):
+    rx = cw.copy()
+    rx[:, 0] ^= (1 << 7) | (1 << 5) | (1 << 3)  # decoder.rs:657,681
+    return rx
+
+
+@pytest.mark.parametrize("code", ALL9)
+def test_encoder_matches_oracle(code):
+    c = get_code(code)
+    B = 3
+    data = _tx(c, B)
+    cw = np.asarray(encoder.encode(c, data))
+    for b in range(B):
+        assert np.array_equal(cw[b], oracle.encode(c, data[b]))
+
+
+@pytest.mark.parametrize("code", SMALL)
+@pytest.mark.parametrize("dtype", [np.float32, np.int8])
+def test_minsum_bit_exact_vs_oracle(code, dtype):
+    c = get_code(code)
+    B = 4
+    cw = np.asarray(encoder.encode(c, _tx(c, B)))
+    rx = _corrupt(cw)
+    llrs = np.asarray(convert.hard_to_llrs(rx, dtype))
+    res = minsum.decode_ms(c, jnp.asarray(llrs), maxiters=50)
+    out = np.asarray(convert.pack_bits(np.asarray(res.bits)))
+    for b in range(B):
+        ok, it, o_out = oracle.decode_ms(c, llrs[b].astype(dtype), 50)
+        assert bool(res.success[b]) == ok
+        assert int(res.iterations[b]) == it
+        assert np.array_equal(out[b], o_out)
+
+
+@pytest.mark.parametrize("code", ALL9)
+def test_minsum_recovers_3bit_corruption(code):
+    """Reference test_decode_ms scenario (decoder.rs:671-699), all 9 codes."""
+    c = get_code(code)
+    B = 2
+    cw = np.asarray(encoder.encode(c, _tx(c, B)))
+    rx = _corrupt(cw)
+    llrs = convert.hard_to_llrs(jnp.asarray(rx), jnp.int8)
+    res = minsum.decode_ms(c, llrs, maxiters=50)
+    assert bool(res.success.all())
+    out = np.asarray(convert.pack_bits(np.asarray(res.bits)))
+    assert np.array_equal(out[:, : c.n // 8], cw)
+
+
+@pytest.mark.parametrize("code", ALL9)
+def test_bf_recovers_3bit_corruption(code):
+    """Reference test_decode_bf scenario (decoder.rs:647-670), all 9 codes."""
+    c = get_code(code)
+    B = 2
+    cw = np.asarray(encoder.encode(c, _tx(c, B)))
+    rx_bits = convert.unpack_bits(jnp.asarray(_corrupt(cw)))
+    res = bitflip.decode_bf(c, rx_bits, maxiters=50)
+    assert bool(res.success.all())
+    out = np.asarray(convert.pack_bits(np.asarray(res.bits)))
+    assert np.array_equal(out[:, : c.n // 8], cw)
+
+
+@pytest.mark.parametrize("code", ["TC512", "TM1536"])
+def test_bf_bit_exact_vs_oracle(code):
+    c = get_code(code)
+    B = 3
+    cw = np.asarray(encoder.encode(c, _tx(c, B)))
+    rx = _corrupt(cw)
+    res = bitflip.decode_bf(c, convert.unpack_bits(jnp.asarray(rx)), maxiters=50)
+    out = np.asarray(convert.pack_bits(np.asarray(res.bits)))
+    for b in range(B):
+        ok, it, o_out = oracle.decode_bf(c, rx[b], 50)
+        assert bool(res.success[b]) == ok
+        assert int(res.iterations[b]) == it
+        assert np.array_equal(out[b], o_out)
+
+
+@pytest.mark.parametrize("code", [c.value for c in ALL_CODES if get_code(c).punctured_bits])
+def test_erasures_match_minsum(code):
+    """Cross-decoder oracle (reference test_decode_erasures, decoder.rs:607-645):
+    erasure-repaired clean codeword == min-sum decode of the same codeword."""
+    c = get_code(code)
+    B = 2
+    cw = np.asarray(encoder.encode(c, _tx(c, B)))
+    bits_full = np.concatenate(
+        [np.asarray(convert.unpack_bits(jnp.asarray(cw))),
+         np.zeros((B, c.punctured_bits), np.uint8)], axis=1)
+    succ, _, fixed = bitflip.decode_erasures_bits(c, jnp.asarray(bits_full), 50)
+    assert bool(np.asarray(succ).all())
+
+    llrs = convert.hard_to_llrs(jnp.asarray(cw), jnp.int8)
+    res = minsum.decode_ms(c, llrs, maxiters=50)
+    assert bool(res.success.all())
+    assert np.array_equal(np.asarray(fixed), np.asarray(res.bits))
+
+
+def test_minsum_awgn_batch():
+    """Noisy batch at moderate SNR: most codewords decode, per-codeword iters vary."""
+    rng = np.random.default_rng(0)
+    c = get_code("TC256")
+    B = 64
+    data = rng.integers(0, 256, size=(B, c.k // 8), dtype=np.uint8)
+    cw = np.asarray(encoder.encode(c, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * np.unpackbits(cw, axis=1).astype(np.float32)
+    llrs = tx + rng.normal(0, 0.6, size=tx.shape).astype(np.float32)
+    res = minsum.decode_ms(c, jnp.asarray(llrs), maxiters=30)
+    ok = np.asarray(res.success)
+    out = np.asarray(convert.pack_bits(np.asarray(res.bits)))
+    assert ok.mean() > 0.9
+    recovered = (out[:, : c.k // 8] == data).all(axis=1)
+    assert recovered[ok].mean() > 0.95
+
+
+def test_normalized_minsum_runs():
+    c = get_code("TC128")
+    B = 8
+    cw = np.asarray(encoder.encode(c, _tx(c, B)))
+    llrs = convert.hard_to_llrs(jnp.asarray(_corrupt(cw)), jnp.float32)
+    res = minsum.decode_ms(c, llrs, maxiters=50, alpha=0.8)
+    assert bool(res.success.all())
+    with pytest.raises(ValueError):
+        minsum.make_ms_decoder(c, jnp.int8, 10, alpha=0.8)
+
+
+def test_convert_roundtrip():
+    """hard_to_llrs / llrs_to_hard reference vectors (decoder.rs:553-605)."""
+    hard = np.array([[255, 254, 253, 252, 251, 250, 249, 248,
+                      203, 102, 103, 120, 107, 30, 157, 169]], dtype=np.uint8)
+    llrs = np.asarray(convert.hard_to_llrs(jnp.asarray(hard), jnp.float32))
+    assert llrs.shape == (1, 128)
+    assert llrs[0, 0] == -1.0 and llrs[0, 15] == 1.0
+    back = np.asarray(convert.llrs_to_hard(jnp.asarray(llrs)))
+    assert np.array_equal(back, hard)
+    o = oracle.hard_to_llrs("TC128", hard[0], np.float32)
+    assert np.array_equal(o, llrs[0])
