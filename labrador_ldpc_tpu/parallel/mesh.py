@@ -34,7 +34,12 @@ def make_batch_mesh(devices=None) -> Mesh:
     """1-D mesh over all (or the given) devices, axis name 'batch'."""
     if devices is None:
         devices = jax.devices()
-    return jax.make_mesh((len(devices),), ("batch",), devices=devices)
+    return jax.make_mesh(
+        (len(devices),),
+        ("batch",),
+        devices=devices,
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
