@@ -43,6 +43,9 @@ __all__ = [
     "generator_parity_matrix",
     "DecoderTables",
     "decoder_tables",
+    "BlockPerm",
+    "QCStructure",
+    "qc_structure",
 ]
 
 
@@ -242,3 +245,88 @@ def decoder_tables(code: LDPCCode | str) -> DecoderTables:
         ref_edge_slot=ref_edge_slot,
         var_degree=deg_v.astype(np.int32),
     )
+
+
+# --- QC (protograph) block structure -----------------------------------------
+#
+# Every nonzero prototype cell of the CCSDS codes is a PERMUTATION submatrix:
+# HI|s is the identity right-shifted by s, and HP|K is the Pi_K permutation,
+# which decomposes into a rotation of the four M/4-quarters by theta_K plus a
+# circular shift of each quarter by phi(j, K) (compact_parity_checks.rs:107-108).
+# So the entire H is a (R x Cc) grid of M x M permutations (several addends may
+# share a cell: plane sums). On TPU this means message gathers/scatters in the
+# decoders reduce to static `roll`s along the node axis — no gather tables at
+# all. This is the structure the fast decoders (ops/qc_minsum.py) consume.
+
+
+@dataclass(frozen=True)
+class BlockPerm:
+    """One addend: an M x M permutation linking check block `row` to var
+    block `col`. Edge (row*M + i, col*M + perm(i)) exists for all i.
+
+    kind == "rot":  perm(i) = (i + shift) mod M            (HI | shift)
+    kind == "pi":   perm(i) = (M/4)*((theta + j) mod 4)
+                              + (phis[j] + i) mod (M/4),
+                    j = floor(i / (M/4))                    (HP | K)
+    """
+
+    row: int
+    col: int
+    kind: str  # "rot" | "pi"
+    shift: int = 0
+    theta: int = 0
+    phis: tuple = ()
+
+    def apply(self, i: np.ndarray, m: int) -> np.ndarray:
+        """perm(i) as numpy (for tests/oracles)."""
+        if self.kind == "rot":
+            return (i + self.shift) % m
+        q = m // 4
+        j = i // q
+        phi = np.asarray(self.phis)[j]
+        return ((self.theta + j) % 4) * q + (phi + i) % q
+
+
+@dataclass(frozen=True)
+class QCStructure:
+    code: LDPCCode
+    m: int  # submatrix size M
+    n_block_rows: int  # R  = (n + p - k) / M
+    n_block_cols: int  # Cc = (n + p) / M
+    # addends grouped by prototype row, in the reference plane-scan order
+    rows: tuple  # tuple[tuple[BlockPerm, ...], ...]
+
+
+@lru_cache(maxsize=None)
+def qc_structure(code: LDPCCode | str) -> QCStructure:
+    code = get_code(code)
+    p = code.params
+    proto, phi = _prototype_for(code)
+    m = code.submatrix_size
+    R, Cc = p.n_checks // m, p.n_vars // m
+    rows = []
+    for rowidx in range(R):
+        addends = []
+        for colidx in range(proto.shape[2]):
+            for plane in range(proto.shape[0]):
+                cell = int(proto[plane, rowidx, colidx])
+                if cell == 0:
+                    break  # plane chain ends (codes/mod.rs:332-338)
+                kind = cell & C.SUBMAT_KIND_MASK
+                val = cell & C.SUBMAT_VAL_MASK
+                if kind == C.HI:
+                    addends.append(BlockPerm(rowidx, colidx, "rot", shift=val))
+                elif kind == C.HP:
+                    addends.append(
+                        BlockPerm(
+                            rowidx,
+                            colidx,
+                            "pi",
+                            theta=int(C.THETA_K[val]),
+                            phis=tuple(int(phi[j, val]) for j in range(4)),
+                        )
+                    )
+        rows.append(tuple(addends))
+    s = QCStructure(code=code, m=m, n_block_rows=R, n_block_cols=Cc, rows=tuple(rows))
+    assert sum(len(r) for r in s.rows) * m == p.paritycheck_sum
+    return s

@@ -28,14 +28,16 @@ __all__ = ["encode_bits", "encode", "make_encoder"]
 
 
 @lru_cache(maxsize=None)
-def _g_parity_i8(code: LDPCCode) -> jnp.ndarray:
-    return jnp.asarray(generator_parity_matrix(code), dtype=jnp.int8)
+def _g_parity_i8(code: LDPCCode) -> np.ndarray:
+    # cached as host numpy: converting inside a jit trace would cache a
+    # tracer (leak); jnp.asarray at the use site stages it as a constant.
+    return np.asarray(generator_parity_matrix(code), dtype=np.int8)
 
 
 def encode_bits(code: LDPCCode | str, data_bits: jnp.ndarray) -> jnp.ndarray:
     """(B, k) data bits -> (B, n) codeword bits (systematic), uint8."""
     code = get_code(code)
-    g = _g_parity_i8(code)
+    g = jnp.asarray(_g_parity_i8(code))
     x = jnp.asarray(data_bits, dtype=jnp.int8)
     parity = jnp.dot(x, g, preferred_element_type=jnp.int32) & 1
     return jnp.concatenate([data_bits.astype(jnp.uint8), parity.astype(jnp.uint8)], axis=-1)

@@ -93,13 +93,16 @@ def _hard(x):
 
 @lru_cache(maxsize=None)
 def _device_tables(code: LDPCCode):
+    # cached as host numpy (NOT jnp): converting under an active jit trace
+    # would cache tracers (UnexpectedTracerError on reuse). jnp ops on these
+    # stage them as per-trace constants.
     t = decoder_tables(code)
     return dict(
-        check_nbrs_flat=jnp.asarray(t.check_nbrs.reshape(-1), dtype=jnp.int32),
-        check_mask=jnp.asarray(t.check_mask[:, :, None]),  # (C, dc, 1)
-        var_edge_idx=jnp.asarray(t.var_edge_idx, dtype=jnp.int32),  # (V, dv)
-        var_check_idx=jnp.asarray(t.var_check_idx, dtype=jnp.int32),
-        var_mask=jnp.asarray(t.var_mask),
+        check_nbrs_flat=np.ascontiguousarray(t.check_nbrs.reshape(-1), dtype=np.int32),
+        check_mask=np.ascontiguousarray(t.check_mask[:, :, None]),  # (C, dc, 1)
+        var_edge_idx=np.ascontiguousarray(t.var_edge_idx, dtype=np.int32),  # (V, dv)
+        var_check_idx=np.ascontiguousarray(t.var_check_idx, dtype=np.int32),
+        var_mask=np.ascontiguousarray(t.var_mask),
         meta=t,
     )
 
