@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Microbenchmark suite mirroring the reference's benches/ harnesses.
+
+Reference coverage (benches/encode.rs:25-59, benches/decode.rs:22-101,
+benches/iter_paritychecks.rs:14-22) and what each maps to here:
+
+  * encode x 9 codes           -> batched MXU encode, data MB/s + cw/s
+  * decode_bf x 9 codes        -> batched bit-flip, 3 bit flips, 50 iters
+  * decode_ms x dtypes x codes -> batched min-sum across implementations
+                                  (ref-order XLA / QC XLA / fused Pallas)
+                                  and dtypes (f32, bf16, i8)
+  * edge iteration rate        -> decoder-table build time (the analog of
+                                  ParityIter throughput: H expansion cost)
+  * capi single-codeword       -> native C++ scalar codec latency (the
+                                  closest analog of the reference's
+                                  single-codeword numbers)
+
+Results print as a table and are appended as JSON lines to
+benchmarks/results.jsonl with enough metadata to compare across runs.
+
+Usage:
+    python benchmarks/bench_suite.py --quick        # TC128+TM8192 only
+    python benchmarks/bench_suite.py                # full sweep
+    python benchmarks/bench_suite.py --filter ms    # substring filter
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def _timeit(fn, reps=5):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_all(codes, impls, batch, reps, results):
+    import jax
+    import jax.numpy as jnp
+
+    from labrador_ldpc_tpu.codes.expand import decoder_tables
+    from labrador_ldpc_tpu.codes.params import get_code
+    from labrador_ldpc_tpu.ops import bitflip, encoder
+    from labrador_ldpc_tpu.ops.convert import hard_to_llrs, unpack_bits
+    from labrador_ldpc_tpu.channel.awgn import _make_decoder
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+
+    def record(name, code, value, unit, **meta):
+        row = dict(bench=name, code=code, value=round(value, 3), unit=unit,
+                   device=str(dev), batch=batch, **meta)
+        results.append(row)
+        print(f"{name:28} {code:8} {value:>14,.1f} {unit}")
+
+    for name in codes:
+        code = get_code(name)
+        k_bytes = code.k // 8
+        data = rng.integers(0, 256, (batch, k_bytes), dtype=np.uint8)
+        data_j = jax.device_put(jnp.asarray(data))
+
+        # --- encode (benches/encode.rs: b.bytes = k/8) ---------------------
+        enc = encoder.make_encoder(code)
+        jax.block_until_ready(enc(data_j))
+        t = _timeit(lambda: jax.block_until_ready(enc(data_j)), reps)
+        record("encode", name, batch / t, "cw/s")
+        record("encode_data_rate", name, batch * k_bytes / t / 1e6, "MB/s")
+
+        # --- corrupted codeword fixtures (3 bit flips, decode.rs:52) -------
+        cw = np.array(enc(data_j))
+        cw[:, 0] ^= (1 << 7) | (1 << 5) | (1 << 3)
+        cw_j = jax.device_put(jnp.asarray(cw))
+
+        # --- decode_bf (benches/decode.rs:22-37) ---------------------------
+        bf = bitflip.make_bf_decoder(code, maxiters=50)
+        bits = unpack_bits(cw_j)
+        jax.block_until_ready(bf(bits))
+        t = _timeit(lambda: jax.block_until_ready(bf(bits)), reps)
+        record("decode_bf", name, batch / t, "cw/s", maxiters=50)
+
+        # --- decode_ms variants (benches/decode.rs:39-71) ------------------
+        for impl, dtype_name in impls:
+            dtype = jnp.dtype(dtype_name)
+            llrs = jax.device_put(hard_to_llrs(cw_j, dtype))
+            try:
+                dec = _make_decoder(code, dtype, 50, None, impl)
+                res = dec(llrs)
+                jax.block_until_ready(res)
+            except Exception as e:  # noqa: BLE001 - report and continue
+                print(f"decode_ms[{impl},{dtype_name}] {name}: SKIP ({type(e).__name__})")
+                continue
+            assert bool(np.asarray(res.success).all()), f"{impl} failed to decode"
+            t = _timeit(lambda: jax.block_until_ready(dec(llrs)), reps)
+            record(f"decode_ms[{impl},{dtype_name}]", name, batch / t, "cw/s",
+                   maxiters=50, impl=impl, dtype=dtype_name)
+
+        # --- table build (iter_paritychecks.rs analog) ---------------------
+        decoder_tables.cache_clear()
+        t0 = time.perf_counter()
+        tabs = decoder_tables(code)
+        t = time.perf_counter() - t0
+        record("table_build_edges_per_s", name, tabs.n_edges / t, "edges/s")
+
+    return results
+
+
+def bench_capi(codes, reps, results):
+    from labrador_ldpc_tpu import capi
+    from labrador_ldpc_tpu.codes.params import get_code
+
+    rng = np.random.default_rng(0)
+    for name in codes:
+        code = get_code(name)
+        data = rng.integers(0, 256, code.k // 8, dtype=np.uint8)
+        cw = capi.copy_encode(code, data)
+        t = _timeit(lambda: capi.copy_encode(code, data), reps * 20)
+        row = dict(bench="capi_encode", code=name, value=round(1 / t, 1),
+                   unit="cw/s", device="cpu-scalar")
+        results.append(row)
+        print(f"{'capi_encode':28} {name:8} {1 / t:>14,.1f} cw/s")
+
+        rx = cw.copy()
+        rx[0] ^= (1 << 7) | (1 << 5) | (1 << 3)
+        llrs = capi.hard_to_llrs(code, rx, np.float32)
+        ok, _, _ = capi.decode_ms(code, llrs, maxiters=50)
+        assert ok
+        t = _timeit(lambda: capi.decode_ms(code, llrs, maxiters=50), reps)
+        row = dict(bench="capi_decode_ms_f32", code=name, value=round(1 / t, 1),
+                   unit="cw/s", device="cpu-scalar", maxiters=50)
+        results.append(row)
+        print(f"{'capi_decode_ms_f32':28} {name:8} {1 / t:>14,.1f} cw/s")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="TC128 + TM8192 only")
+    ap.add_argument("--codes", default=None, help="comma-separated code list")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--filter", default="", help="only benches containing this substring")
+    ap.add_argument("--no-capi", action="store_true")
+    ap.add_argument("--out", default=str(Path(__file__).parent / "results.jsonl"))
+    args = ap.parse_args()
+
+    from labrador_ldpc_tpu.codes.params import ALL_CODES
+
+    if args.codes:
+        codes = args.codes.split(",")
+    elif args.quick:
+        codes = ["TC128", "TM8192"]
+    else:
+        codes = [c.value for c in ALL_CODES]
+
+    impls = [("ref", "float32"), ("qc", "float32"), ("qc", "bfloat16"),
+             ("pallas", "bfloat16"), ("ref", "int8")]
+
+    results: list[dict] = []
+    t_start = time.time()
+    bench_all(codes, impls, args.batch, args.reps, results)
+    if not args.no_capi:
+        bench_capi(codes, args.reps, results)
+
+    if args.filter:
+        results = [r for r in results if args.filter in r["bench"]]
+    stamp = {"ts": round(t_start, 1)}
+    with open(args.out, "a") as f:
+        for r in results:
+            f.write(json.dumps({**stamp, **r}) + "\n")
+    print(f"\n{len(results)} results appended to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

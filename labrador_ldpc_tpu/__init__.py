@@ -30,6 +30,8 @@ from .codes.expand import (
 from .ops.convert import hard_to_llrs, llrs_to_hard, pack_bits, unpack_bits
 from .ops.encoder import encode, encode_bits, make_encoder
 from .ops.minsum import MSResult, decode_ms, make_ms_decoder
+from .ops.qc_minsum import make_ms_decoder_qc
+from .ops.pallas_minsum import make_ms_decoder_pallas
 from .ops.bitflip import BFResult, decode_bf, decode_erasures_bits, make_bf_decoder
 
 __version__ = "0.1.0"
@@ -38,7 +40,7 @@ __all__ = [
     "LDPCCode", "CodeParams", "get_code", "ALL_CODES", "TC_CODES", "TM_CODES",
     "parity_edges", "parity_check_matrix", "generator_parity_matrix", "decoder_tables",
     "encode", "encode_bits", "make_encoder",
-    "decode_ms", "make_ms_decoder", "MSResult",
+    "decode_ms", "make_ms_decoder", "make_ms_decoder_qc", "make_ms_decoder_pallas", "MSResult",
     "decode_bf", "make_bf_decoder", "BFResult", "decode_erasures_bits",
     "hard_to_llrs", "llrs_to_hard", "pack_bits", "unpack_bits",
     "__version__",

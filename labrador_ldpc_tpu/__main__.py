@@ -1,0 +1,87 @@
+"""Command-line harness: BER/FER waterfall sweeps and quick codec checks.
+
+TPU-native counterpart of the reference's perftest binary
+(perftest/src/main.rs:67-70, which sweeps TC512 at 0.8..2.2 dB and prints
+CSV): `python -m labrador_ldpc_tpu waterfall` reproduces that default, with
+knobs for code, SNR grid, decoder implementation, dtype, normalization, and
+stopping rules. CSV schema matches perftest (`code,snr,trials,bits,errors,
+ber`, perftest/src/main.rs:62) so perftest/plot.py-style tooling works
+unchanged (see tools/plot_waterfall.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_waterfall(args) -> int:
+    from .channel.waterfall import waterfall
+
+    if args.snrs:
+        snrs = [float(s) for s in args.snrs.split(",")]
+    else:
+        snrs = [round(args.snr_start + args.snr_step * i, 10) for i in
+                range(int(round((args.snr_stop - args.snr_start) / args.snr_step)) + 1)]
+    waterfall(
+        args.code,
+        snrs,
+        batch=args.batch,
+        maxiters=args.maxiters,
+        max_bits=args.max_bits,
+        max_bit_errors=args.max_bit_errors,
+        noise_model=args.noise_model,
+        dtype_name=args.dtype,
+        alpha=args.alpha,
+        impl=args.impl,
+        seed=args.seed,
+        csv_out=sys.stdout,
+        verbose=args.verbose,
+    )
+    return 0
+
+
+def _cmd_info(args) -> int:
+    from .codes.params import ALL_CODES
+
+    print(f"{'code':8} {'n':>6} {'k':>6} {'rate':>6} {'p':>5} {'M':>5} {'b':>4} {'|E|':>6}")
+    for c in ALL_CODES:
+        p = c.params
+        print(
+            f"{c.value:8} {p.n:>6} {p.k:>6} {p.rate:>6.3f} {p.punctured_bits:>5} "
+            f"{p.submatrix_size:>5} {p.circulant_size:>4} {p.paritycheck_sum:>6}"
+        )
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="labrador_ldpc_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("waterfall", help="BER/FER waterfall sweep (perftest analog)")
+    w.add_argument("--code", default="TC512", help="code name (default TC512, as perftest)")
+    w.add_argument("--snrs", default=None, help="comma-separated SNR (dB) list")
+    w.add_argument("--snr-start", type=float, default=0.8)  # perftest/src/main.rs:67-70
+    w.add_argument("--snr-stop", type=float, default=2.2)
+    w.add_argument("--snr-step", type=float, default=0.1)
+    w.add_argument("--batch", type=int, default=1024)
+    w.add_argument("--maxiters", type=int, default=100)  # perftest uses 100
+    w.add_argument("--max-bits", type=int, default=50_000_000)
+    w.add_argument("--max-bit-errors", type=int, default=5_000)
+    w.add_argument("--noise-model", choices=["perftest", "ebn0"], default="perftest")
+    w.add_argument("--dtype", default="float32", help="float32|bfloat16|int8|int16")
+    w.add_argument("--alpha", type=float, default=None, help="normalized min-sum factor")
+    w.add_argument("--impl", choices=["ref", "qc", "pallas"], default="qc")
+    w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--verbose", action="store_true")
+    w.set_defaults(fn=_cmd_waterfall)
+
+    i = sub.add_parser("info", help="print the code registry table")
+    i.set_defaults(fn=_cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -28,6 +28,22 @@ from ..ops.convert import pack_bits
 from ..ops.encoder import encode_bits
 from ..ops.minsum import make_ms_decoder
 
+
+def _make_decoder(code, dtype, maxiters, alpha, impl: str):
+    """Select the min-sum implementation: "ref" (reference-order XLA),
+    "qc" (roll-based XLA), or "pallas" (fused VMEM-resident kernel)."""
+    if impl == "ref":
+        return make_ms_decoder(code, dtype, maxiters, alpha)
+    if impl == "qc":
+        from ..ops.qc_minsum import make_ms_decoder_qc
+
+        return make_ms_decoder_qc(code, dtype, maxiters, alpha)
+    if impl == "pallas":
+        from ..ops.pallas_minsum import make_ms_decoder_pallas
+
+        return make_ms_decoder_pallas(code, dtype, maxiters, alpha)
+    raise ValueError(f"unknown decoder impl {impl!r} (ref|qc|pallas)")
+
 __all__ = ["ChannelStats", "make_trial_step", "noise_sigma"]
 
 
@@ -57,6 +73,7 @@ def make_trial_step(
     maxiters: int = 100,
     dtype_name: str = "float32",
     alpha: float | None = None,
+    impl: str = "ref",
 ):
     """Build a jitted end-to-end trial step.
 
@@ -68,7 +85,7 @@ def make_trial_step(
     code = get_code(code)
     p = code.params
     dtype = jnp.dtype(dtype_name)
-    decoder = make_ms_decoder(code, dtype, maxiters, alpha)
+    decoder = _make_decoder(code, dtype, maxiters, alpha, impl)
 
     def step(key: jax.Array, sigma: jnp.ndarray) -> ChannelStats:
         kd, kn = jax.random.split(key)

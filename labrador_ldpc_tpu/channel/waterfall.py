@@ -62,6 +62,7 @@ def waterfall(
     noise_model: str = "perftest",
     dtype_name: str = "float32",
     alpha: float | None = None,
+    impl: str = "ref",
     seed: int = 0,
     csv_out=None,
     verbose: bool = False,
@@ -73,7 +74,7 @@ def waterfall(
     """
     code = get_code(code)
     k = code.k
-    step = make_trial_step(code, batch, maxiters, dtype_name, alpha)
+    step = make_trial_step(code, batch, maxiters, dtype_name, alpha, impl)
     key = jax.random.PRNGKey(seed)
     results = []
     for snr in snrs_db:

@@ -20,8 +20,8 @@ the normalization-free self-corrected min-sum of Savin, arXiv:0803.1090):
     codeword's convergence iteration, matching the reference's return.
 
 Supported LLR dtypes mirror `DecodeFrom` (decoder.rs:22-86): float32,
-bfloat16 (TPU-fast, not in the reference), int8 and int16 with saturating
-arithmetic. `alpha` enables normalized min-sum (float dtypes), a strict
+float64 (requires jax_enable_x64; CPU-oriented), bfloat16 (TPU-fast, not in
+the reference), and int8/int16/int32 with saturating arithmetic. `alpha` enables normalized min-sum (float dtypes), a strict
 superset knob: alpha=None reproduces the reference algorithm exactly.
 """
 
@@ -48,11 +48,27 @@ class MSResult(NamedTuple):
 
 # --- dtype policies (reference DecodeFrom, decoder.rs:42-86) ---------------
 
-_INT_INFO = {jnp.int8: (-128, 127), jnp.int16: (-32768, 32767)}
+# int LLRs use saturating arithmetic through a wider accumulator. int32
+# accumulates in int64 when x64 is enabled, else in float32 (exact for
+# |x| < 2^24 — far beyond practical LLR magnitudes). float64 requires
+# jax.config.update("jax_enable_x64", True) and is CPU-oriented (TPUs have
+# no native f64); both exist for DecodeFrom parity (decoder.rs:22-40).
+_INT_KINDS = (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16), jnp.dtype(jnp.int32))
 
 
 def _is_int(dtype) -> bool:
-    return jnp.dtype(dtype) in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16))
+    return jnp.dtype(dtype) in _INT_KINDS
+
+
+def _acc_dtype(dtype):
+    """Wider accumulator for saturating int ops."""
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int32):
+        # int64 when x64 is on; else float32 keeps exactness for |x| < 2^24,
+        # plenty for LLR arithmetic
+        import jax
+
+        return jnp.int64 if jax.config.jax_enable_x64 else jnp.float32
+    return jnp.int32
 
 
 def _maxval(dtype):
@@ -65,21 +81,24 @@ def _maxval(dtype):
 def _sat_add(a, b, dtype):
     if _is_int(dtype):
         lo, hi = jnp.iinfo(dtype).min, jnp.iinfo(dtype).max
-        return jnp.clip(a.astype(jnp.int32) + b.astype(jnp.int32), lo, hi).astype(dtype)
+        acc = _acc_dtype(dtype)
+        return jnp.clip(a.astype(acc) + b.astype(acc), lo, hi).astype(dtype)
     return a + b
 
 
 def _sat_sub(a, b, dtype):
     if _is_int(dtype):
         lo, hi = jnp.iinfo(dtype).min, jnp.iinfo(dtype).max
-        return jnp.clip(a.astype(jnp.int32) - b.astype(jnp.int32), lo, hi).astype(dtype)
+        acc = _acc_dtype(dtype)
+        return jnp.clip(a.astype(acc) - b.astype(acc), lo, hi).astype(dtype)
     return a - b
 
 
 def _sat_abs(x, dtype):
     if _is_int(dtype):
         hi = jnp.iinfo(dtype).max
-        return jnp.clip(jnp.abs(x.astype(jnp.int32)), 0, hi).astype(dtype)
+        acc = _acc_dtype(dtype)
+        return jnp.clip(jnp.abs(x.astype(acc)), 0, hi).astype(dtype)
     return jnp.abs(x)
 
 

@@ -6,27 +6,34 @@ for a batch tile with all state resident in VMEM:
   * grid = (B / Bt,): each program decodes an independent tile of Bt
     codewords laid out node-major (V, Bt) so the batch rides the 128 VPU
     lanes and all block permutations (codes/expand.py: qc_structure) are
-    static sublane rolls (pltpu.roll) — no gathers, no index tables, no HBM
+    static sublane slice+concat rolls — no gathers, no index tables, no HBM
     traffic inside the iteration loop.
   * per-tile early termination: a `lax.while_loop` exits as soon as every
     codeword in the tile satisfies all parity checks (the batched analog of
     the reference's early return, decoder.rs:453-462), so HBM sees exactly
     one read of the LLRs and one write of the outputs per tile.
-  * check->var messages are RECOMPUTED from (v, min1/min2/sign) in the
-    variable sweep instead of stored, halving message memory; carried VMEM
-    state is v:(sumA,M,Bt) + min1/min2:(R,M,Bt) + sign products
-    (int8) + va:(Cc,M,Bt).
+  * minimal carried state: only the edge messages v:(sumA*M, Bt) and the
+    marginal scratch va:(Cc*M, Bt). The per-check min1/min2/sign-product
+    statistics are pure functions of v and are recomputed per prototype row
+    in both sweeps (VPU passes over VMEM are far cheaper than the 16 MB
+    VMEM budget), and the check->var messages u are likewise recomputed
+    rather than stored. This fits TM8192 at Bt=128 in bf16 / Bt=64 in f32.
 
-Algorithm semantics (update rules, self-correction, zero-init working set,
-hard-decision convention, per-codeword iteration accounting) mirror the
-reference `decode_ms` (decoder.rs:347-475, Savin arXiv:0803.1090) exactly;
-only the floating-point accumulation order at variable nodes differs, as in
-ops/qc_minsum.py. Float32/bfloat16 LLRs; `alpha` gives normalized min-sum.
+Mosaic-on-v5e constraints shape the implementation: no int8/bf16 vector
+compares and no 16-bit dynamic rotate, so ALL arithmetic/comparison runs in
+float32 (storage dtype is bf16 or f32; rounding is monotone, and all
+decisions are made on the rounded stored values, keeping min/equality logic
+exactly self-consistent), and rolls are static slice+concat.
+
+Algorithm semantics (update rules, self-correction, zero-initialized
+working set, hard-decision convention, per-codeword iteration accounting)
+mirror the reference `decode_ms` (decoder.rs:347-475, Savin
+arXiv:0803.1090); only the floating-point accumulation order at variable
+nodes differs, as in ops/qc_minsum.py (validated: identical decoded outputs
+on converged codewords, tests/test_pallas.py).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -38,15 +45,15 @@ from ..codes.expand import BlockPerm, qc_structure
 from ..codes.params import LDPCCode, get_code
 from .minsum import MSResult
 
-__all__ = ["make_ms_decoder_pallas"]
+__all__ = ["make_ms_decoder_pallas", "default_batch_tile"]
 
 
 def _roll(x, s: int):
     """np.roll(x, s, axis=0) with a STATIC shift: out[i] = x[(i - s) % m].
 
-    Implemented as two static slices + concat rather than pltpu.roll, which
-    lowers to tpu.dynamic_rotate (unsupported for 16-bit data on v5e and
-    needlessly dynamic for compile-time shifts).
+    Two static slices + concat rather than pltpu.roll, which lowers to
+    tpu.dynamic_rotate (unsupported for 16-bit data on v5e and needlessly
+    dynamic for compile-time shifts).
     """
     m = x.shape[0]
     s %= m
@@ -56,14 +63,15 @@ def _roll(x, s: int):
 
 
 def _perm(x, perm: BlockPerm, inverse: bool):
-    """Static block permutation of the leading (sublane-tiled) axis via rolls.
+    """Static block permutation of the leading (sublane) axis via rolls.
 
     Forward: out[i] = x[perm(i)]; inverse: out[perm(i)] = x[i].
+    HP's quarter decomposition: quarter j of the check-side view is var
+    quarter (theta+j)%4 rolled by phi_j (compact_parity_checks.rs:107-108).
     """
     m = x.shape[0]
     if perm.kind == "rot":
-        # forward wants out[i] = x[(i+s) % m] -> roll by -s
-        return _roll(x, -perm.shift if not inverse else perm.shift)
+        return _roll(x, perm.shift if inverse else -perm.shift)
     q = m // 4
     parts = []
     for t in range(4):  # output quarter
@@ -76,18 +84,35 @@ def _perm(x, perm: BlockPerm, inverse: bool):
     return jnp.concatenate(parts, axis=0)
 
 
+def default_batch_tile(code: LDPCCode | str, dtype=jnp.bfloat16) -> int:
+    """Largest lane-aligned tile that fits the ~16 MB VMEM budget."""
+    code = get_code(code)
+    s = qc_structure(code)
+    p = code.params
+    itemsize = jnp.dtype(dtype).itemsize
+    sumA = sum(len(r) for r in s.rows)
+    # v + va in VMEM, bits double-buffered s8 out; llrs stay in HBM and are
+    # DMA'd straight into va each iteration
+    per_lane = (sumA * s.m + p.n_vars) * itemsize + 2 * p.n_vars
+    budget = 13 * 1024 * 1024  # leave slack under the 16 MB scoped limit
+    bt = budget // per_lane
+    return int(max(64, min(512, (bt // 64) * 64)))
+
+
 def make_ms_decoder_pallas(
     code: LDPCCode | str,
     dtype=jnp.bfloat16,
     maxiters: int = 20,
     alpha: float | None = None,
-    batch_tile: int = 128,
+    batch_tile: int | None = None,
     interpret: bool = False,
 ):
     """Build the fused Pallas batched min-sum decoder.
 
-    Returns fn(llrs: (B, n) dtype) -> MSResult; B must be a multiple of
-    `batch_tile`. Positive LLRs favor bit 0.
+    Returns fn(llrs: (B, n) dtype) -> MSResult; B must be a multiple of the
+    batch tile (default: largest fitting VMEM). Positive LLRs favor bit 0.
+    `alpha` scales check magnitudes (normalized min-sum); None reproduces
+    the reference's plain self-corrected min-sum.
     """
     code = get_code(code)
     p = code.params
@@ -97,101 +122,103 @@ def make_ms_decoder_pallas(
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     n, V = p.n, p.n_vars
-    n_blocks = n // M
-    Bt = batch_tile
+    Bt = batch_tile or default_batch_tile(code, dtype)
     sumA = sum(len(r) for r in s.rows)
     row_off = np.cumsum([0] + [len(r) for r in s.rows]).tolist()
 
-    # All vector arithmetic/comparisons run in float32 (v5e Mosaic has no
-    # bf16 vector compares); bf16 is a STORAGE format only. Monotonicity of
-    # rounding + computing stats from the rounded messages keeps the
-    # min1/min2/equality logic exactly self-consistent in bf16 mode.
-    cdt = jnp.float32
+    cdt = jnp.float32  # compute dtype (v5e Mosaic: no bf16 vector compares)
     f32 = lambda x: x.astype(cdt)
-    alpha_f = None if alpha is None else jnp.array(alpha, dtype=cdt)
+    alpha_f = None if alpha is None else float(alpha)  # python scalar: jnp
+    big = float(jnp.finfo(dtype).max)  # constants would be captured tracers
+
+    def _row_stats(v_rows):
+        """List of (M, Bt) f32 messages -> (min1, min2, sign-product).
+
+        min2 is the second-smallest of the multiset (ties at min1 give
+        min2 == min1), matching the reference's streaming update
+        (decoder.rs:429-441).
+        """
+        m1 = jnp.full(v_rows[0].shape, big, cdt)
+        m2 = m1
+        sg = jnp.zeros(v_rows[0].shape, jnp.int32)
+        for v in v_rows:
+            a1 = jnp.abs(v)
+            is_new_min = a1 < m1
+            m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a1))
+            m1 = jnp.minimum(m1, a1)
+            sg = sg + (v < 0).astype(jnp.int32)
+        return m1, m2, (sg & 1) == 1
 
     def _u_from(v, m1, m2, sgn):
-        """Recompute check->var message u for one addend (f32 values).
-
-        v: (M, Bt) old message; m1/m2: (M, Bt) row min1/min2; sgn: (M, Bt)
-        row sign product (1.0 = odd number of negatives).
-        """
+        """check->var message for one addend (f32): +-(min1|min2) with the
+        extrinsic sign (decoder.rs:388-405)."""
         mag = jnp.where(jnp.abs(v) == m1, m2, m1)
         if alpha_f is not None:
             mag = alpha_f * mag
-        neg = jnp.logical_xor(sgn != jnp.zeros((), cdt), v < 0)
+        neg = jnp.logical_xor(sgn, v < 0)
         return jnp.where(neg, -mag, mag)
 
-    def kernel(llr_ref, bits_ref, done_ref, iters_ref, v_ref, m1_ref, m2_ref, sgn_ref, va_ref):
-        # llr_ref: (V, Bt) in; bits_ref: (V, Bt) int8 out; done_ref: (1, Bt)
-        # int32 out; iters_ref: (1, Bt) int32 out.
-        # scratch: v (sumA*M, Bt), m1/m2/sgn (R*M, Bt) in `dtype`;
-        # va (Cc*M, Bt) in f32 (accumulator precision).
+    def kernel(llr_ref, bits_ref, done_ref, iters_ref, v_ref, va_ref, llr_sem):
+        # llr_ref: (V, B) dtype in HBM (punctured tail pre-zeroed); the tile
+        # is DMA'd straight into va each iteration (saves the double-buffered
+        # VMEM input block that would blow the 16 MB budget on TM8192).
+        # bits_ref: (V, Bt) int8 out; done_ref/iters_ref: (1, Bt) int32 out;
+        # scratch: v (sumA*M, Bt) dtype, va (Cc*M, Bt) dtype.
         zero = jnp.zeros((), cdt)
+        tile = pl.program_id(0)
 
-        v_ref[:] = jnp.zeros((sumA * M, Bt), dtype)
-        m1_ref[:] = jnp.zeros((R * M, Bt), dtype)  # zeroed working set (decoder.rs:374)
-        m2_ref[:] = jnp.zeros((R * M, Bt), dtype)
-        sgn_ref[:] = jnp.zeros((R * M, Bt), dtype)
+        def load_llrs():
+            cp = pltpu.make_async_copy(
+                llr_ref.at[:, pl.ds(tile * Bt, Bt)], va_ref, llr_sem
+            )
+            cp.start()
+            cp.wait()
+
+        v_ref[:] = jnp.zeros((sumA * M, Bt), dtype)  # zeroed working set (decoder.rs:374)
         done_ref[:] = jnp.zeros((1, Bt), jnp.int32)
         iters_ref[:] = jnp.full((1, Bt), maxiters, jnp.int32)
         bits_ref[:] = jnp.zeros((V, Bt), jnp.int8)
 
+        def load_row(r):
+            return [
+                f32(v_ref[(row_off[r] + a) * M : (row_off[r] + a + 1) * M])
+                for a in range(len(s.rows[r]))
+            ]
+
         def body(carry):
             it, _all_done = carry
 
-            # ---- variable sweep: marginals from recomputed u ---------------
-            # includes zeroed punctured tail (decoder.rs:382-383)
-            va_ref[:] = f32(llr_ref[:])
+            # ---- variable sweep: va = llr + sum of u (decoder.rs:388-411)
+            load_llrs()
             for r in range(R):
-                m1 = f32(m1_ref[r * M : (r + 1) * M])
-                m2 = f32(m2_ref[r * M : (r + 1) * M])
-                sgn = f32(sgn_ref[r * M : (r + 1) * M])
+                v_rows = load_row(r)
+                m1, m2, sgn = _row_stats(v_rows)
                 for a, perm in enumerate(s.rows[r]):
-                    e = row_off[r] + a
-                    v_old = f32(v_ref[e * M : (e + 1) * M])
-                    u = _u_from(v_old, m1, m2, sgn)
+                    u = _u_from(v_rows[a], m1, m2, sgn)
                     cs = perm.col * M
-                    va_ref[cs : cs + M] = va_ref[cs : cs + M] + _perm(u, perm, inverse=True)
+                    va_ref[cs : cs + M] = (
+                        f32(va_ref[cs : cs + M]) + _perm(u, perm, inverse=True)
+                    ).astype(dtype)
 
-            # ---- check sweep: self-corrected v, new stats, parity ----------
+            # ---- check sweep: self-corrected v + parity (decoder.rs:419-450)
             bad = jnp.zeros((1, Bt), jnp.int32)
             for r in range(R):
-                m1 = f32(m1_ref[r * M : (r + 1) * M])
-                m2 = f32(m2_ref[r * M : (r + 1) * M])
-                sgn = f32(sgn_ref[r * M : (r + 1) * M])
-                new_vs = []
+                v_rows = load_row(r)
+                m1, m2, sgn = _row_stats(v_rows)
                 par = jnp.zeros((M, Bt), jnp.int32)
                 for a, perm in enumerate(s.rows[r]):
-                    e = row_off[r] + a
-                    v_old = f32(v_ref[e * M : (e + 1) * M])
+                    v_old = v_rows[a]
                     u = _u_from(v_old, m1, m2, sgn)
-                    g = _perm(va_ref[perm.col * M : (perm.col + 1) * M], perm, inverse=False)
-                    # round to storage dtype BEFORE sign/stat decisions so the
-                    # stored state is exactly what the stats describe
+                    g = _perm(f32(va_ref[perm.col * M : (perm.col + 1) * M]), perm, False)
+                    # round BEFORE the sign/keep decisions so stored state is
+                    # exactly what the next iteration's stats describe
                     nv = f32((g - u).astype(dtype))
                     keep = jnp.logical_or((nv < 0) == (v_old < 0), v_old == zero)
                     nv = jnp.where(keep, nv, zero)  # self-correction (decoder.rs:420-426)
                     par = par + (g < 0).astype(jnp.int32)
-                    new_vs.append(nv)
-                # two smallest |nv| over the row's addends + sign product
-                big = jnp.full((M, Bt), jnp.array(jnp.finfo(dtype).max, cdt))
-                m1n = big
-                m2n = big
-                sg = jnp.zeros((M, Bt), jnp.int32)
-                for nv in new_vs:
-                    a1 = jnp.abs(nv)
-                    is_new_min = a1 < m1n
-                    m2n = jnp.where(is_new_min, m1n, jnp.minimum(m2n, a1))
-                    m1n = jnp.minimum(m1n, a1)
-                    sg = sg + (nv < 0).astype(jnp.int32)
-                for a, nv in enumerate(new_vs):
                     e = row_off[r] + a
                     v_ref[e * M : (e + 1) * M] = nv.astype(dtype)
-                m1_ref[r * M : (r + 1) * M] = m1n.astype(dtype)
-                m2_ref[r * M : (r + 1) * M] = m2n.astype(dtype)
-                sgn_ref[r * M : (r + 1) * M] = (sg & 1).astype(dtype)
-                bad = bad + jnp.sum((par & 1), axis=0, keepdims=True)
+                bad = bad + jnp.sum(par & 1, axis=0, keepdims=True)
 
             ok = (bad == 0).astype(jnp.int32)  # (1, Bt)
             done = done_ref[:]
@@ -199,7 +226,7 @@ def make_ms_decoder_pallas(
             iters_ref[:] = jnp.where(newly, it, iters_ref[:])
             # freeze outputs at each codeword's convergence iteration
             live = (done == 0)[0]  # (Bt,)
-            hard = (va_ref[:] < 0).astype(jnp.int8)
+            hard = (f32(va_ref[:]) < 0).astype(jnp.int8)
             bits_ref[:] = jnp.where(live[None, :], hard, bits_ref[:])
             done_ref[:] = jnp.maximum(done, ok)
             return it + 1, jnp.min(done_ref[:]) == 1
@@ -211,13 +238,10 @@ def make_ms_decoder_pallas(
         jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
 
     def build_call(B):
-        tiles = B // Bt
         return pl.pallas_call(
             kernel,
-            grid=(tiles,),
-            in_specs=[
-                pl.BlockSpec((V, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-            ],
+            grid=(B // Bt,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=(
                 pl.BlockSpec((V, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -230,10 +254,8 @@ def make_ms_decoder_pallas(
             ),
             scratch_shapes=[
                 pltpu.VMEM((sumA * M, Bt), dtype),
-                pltpu.VMEM((R * M, Bt), dtype),
-                pltpu.VMEM((R * M, Bt), dtype),
-                pltpu.VMEM((R * M, Bt), dtype),
-                pltpu.VMEM((Cc * M, Bt), jnp.float32),
+                pltpu.VMEM((Cc * M, Bt), dtype),
+                pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
         )
@@ -246,7 +268,7 @@ def make_ms_decoder_pallas(
         assert B % Bt == 0, f"batch must be a multiple of {Bt}"
         llr_t = jnp.concatenate(
             [llrs.T, jnp.zeros((V - n, B), dtype)], axis=0
-        )  # (V, B), punctured tail zeroed
+        )  # (V, B), punctured tail zeroed (decoder.rs:382-383)
         bits_t, done, iters = build_call(B)(llr_t)
         return MSResult(
             success=done[0].astype(bool),

@@ -88,8 +88,44 @@ class _I16Ops(_I8Ops):
         return np.int16(max(-32768, min(32767, int(a) - int(b))))
 
 
-_OPS = {np.float32: _F32Ops, np.int8: _I8Ops, np.int16: _I16Ops,
-        np.dtype(np.float32): _F32Ops, np.dtype(np.int8): _I8Ops, np.dtype(np.int16): _I16Ops}
+class _F64Ops(_F32Ops):
+    dtype = np.float64
+    maxval = np.float64(np.finfo(np.float64).max)
+
+    @staticmethod
+    def abs(x):
+        return np.float64(abs(float(x)))
+
+    @staticmethod
+    def add(a, b):
+        return np.float64(float(a) + float(b))
+
+    @staticmethod
+    def sub(a, b):
+        return np.float64(float(a) - float(b))
+
+
+class _I32Ops(_I8Ops):
+    dtype = np.int32
+    maxval = np.int32(2**31 - 1)
+
+    @staticmethod
+    def abs(x):
+        return np.int32(min(abs(int(x)), 2**31 - 1))
+
+    @staticmethod
+    def add(a, b):
+        return np.int32(max(-(2**31), min(2**31 - 1, int(a) + int(b))))
+
+    @staticmethod
+    def sub(a, b):
+        return np.int32(max(-(2**31), min(2**31 - 1, int(a) - int(b))))
+
+
+_OPS = {}
+for _ops in (_F32Ops, _F64Ops, _I8Ops, _I16Ops, _I32Ops):
+    _OPS[_ops.dtype] = _ops
+    _OPS[np.dtype(_ops.dtype)] = _ops
 
 
 # ---------------------------------------------------------------------------
