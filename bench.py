@@ -18,26 +18,33 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import os
+
 import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 import jax.numpy as jnp
 import numpy as np
 
 
 def main():
     from labrador_ldpc_tpu.codes.params import get_code
+    from labrador_ldpc_tpu.channel.awgn import _make_decoder
     from labrador_ldpc_tpu.ops.convert import hard_to_llrs
     from labrador_ldpc_tpu.ops.encoder import encode
-    from labrador_ldpc_tpu.ops.minsum import make_ms_decoder
 
     code = get_code("TM8192")
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    impl = os.environ.get("BENCH_IMPL", "qc")  # ref | qc | pallas
     rng = np.random.default_rng(0)
     data = rng.integers(0, 256, (B, code.k // 8), dtype=np.uint8)
     cw = np.array(encode(code, jnp.asarray(data)))
     cw[:, 0] ^= (1 << 7) | (1 << 5) | (1 << 3)  # benches/decode.rs:52
     llrs = jax.device_put(hard_to_llrs(jnp.asarray(cw), jnp.float32))
 
-    decoder = make_ms_decoder(code, jnp.float32, maxiters=50)
+    decoder = _make_decoder(code, jnp.float32, 50, None, impl)
     res = decoder(llrs)  # compile + warmup
     jax.block_until_ready(res)
     assert bool(np.asarray(res.success).all()), "bench decode must converge"

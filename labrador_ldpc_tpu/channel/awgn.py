@@ -73,7 +73,7 @@ def make_trial_step(
     maxiters: int = 100,
     dtype_name: str = "float32",
     alpha: float | None = None,
-    impl: str = "ref",
+    impl: str = "qc",
 ):
     """Build a jitted end-to-end trial step.
 

@@ -62,7 +62,8 @@ def waterfall(
     noise_model: str = "perftest",
     dtype_name: str = "float32",
     alpha: float | None = None,
-    impl: str = "ref",
+    impl: str = "qc",
+    mesh=None,
     seed: int = 0,
     csv_out=None,
     verbose: bool = False,
@@ -71,10 +72,23 @@ def waterfall(
 
     Stopping rules per point mirror the reference: stop when `max_bits` data
     bits have been simulated or `max_bit_errors` bit errors observed.
+
+    With `mesh` (a 1-D 'batch' Mesh, e.g. parallel.make_batch_mesh()), the
+    whole trial pipeline is sharded P('batch') across the mesh and the
+    counters come back as psums — the multi-chip path. `batch` is then the
+    GLOBAL batch and must divide by the mesh size.
     """
     code = get_code(code)
     k = code.k
-    step = make_trial_step(code, batch, maxiters, dtype_name, alpha, impl)
+    if mesh is not None:
+        from ..parallel.mesh import make_sharded_trial_step
+
+        step = make_sharded_trial_step(
+            code, global_batch=batch, mesh=mesh, maxiters=maxiters,
+            dtype=dtype_name, alpha=alpha,
+        )
+    else:
+        step = make_trial_step(code, batch, maxiters, dtype_name, alpha, impl)
     key = jax.random.PRNGKey(seed)
     results = []
     for snr in snrs_db:

@@ -1,23 +1,38 @@
 """Fully-fused Pallas TPU kernel for QC self-corrected min-sum decoding.
 
-The production hot path. One `pallas_call` runs the ENTIRE iterative decode
-for a batch tile with all state resident in VMEM:
+STATUS: experimental, NOT the production path. Measured on v5e, the XLA
+formulation of the same algorithm (ops/qc_minsum.py) is currently much
+faster (e.g. TC128: 230k cw/s XLA vs 4.8k cw/s fused kernel) and the fused
+kernel exceeds Mosaic's scoped-VMEM stack for the large TM codes; XLA's
+fusion + pipelining already handles this roll/elementwise workload well.
+The kernel is kept as a validated-correct (tests/test_pallas.py) base for
+future kernel-level optimization; use impl="qc" for production decoding.
+
+One `pallas_call` runs the ENTIRE iterative decode for a batch tile with
+all state resident in VMEM:
 
   * grid = (B / Bt,): each program decodes an independent tile of Bt
     codewords laid out node-major (V, Bt) so the batch rides the 128 VPU
     lanes and all block permutations (codes/expand.py: qc_structure) are
     static sublane slice+concat rolls — no gathers, no index tables, no HBM
     traffic inside the iteration loop.
+  * fully MANUAL I/O (memory_space=ANY -> HBM): the kernel DMAs the LLR
+    tile into VMEM once, runs the whole decode loop DMA-free, and DMAs the
+    frozen outputs back at the end. Only single-buffered scratch occupies
+    VMEM — Pallas's automatic pipelining would double-buffer full
+    input/output blocks and blow the 16 MB scoped budget on the big TM
+    codes (and Mosaic mishandles HBM DMAs inside while_loops).
   * per-tile early termination: a `lax.while_loop` exits as soon as every
     codeword in the tile satisfies all parity checks (the batched analog of
-    the reference's early return, decoder.rs:453-462), so HBM sees exactly
-    one read of the LLRs and one write of the outputs per tile.
+    the reference's early return, decoder.rs:453-462).
   * minimal carried state: only the edge messages v:(sumA*M, Bt) and the
     marginal scratch va:(Cc*M, Bt). The per-check min1/min2/sign-product
     statistics are pure functions of v and are recomputed per prototype row
-    in both sweeps (VPU passes over VMEM are far cheaper than the 16 MB
-    VMEM budget), and the check->var messages u are likewise recomputed
-    rather than stored. This fits TM8192 at Bt=128 in bf16 / Bt=64 in f32.
+    in both sweeps, and the check->var messages u are likewise recomputed
+    rather than stored. All passes stream ONE addend block at a time from
+    VMEM (re-loading instead of retaining): Mosaic statically allocates
+    stack for the peak live vector set, so holding a whole row of f32
+    message upcasts would cost more scoped VMEM than the scratch itself.
 
 Mosaic-on-v5e constraints shape the implementation: no int8/bf16 vector
 compares and no 16-bit dynamic rotate, so ALL arithmetic/comparison runs in
@@ -91,10 +106,9 @@ def default_batch_tile(code: LDPCCode | str, dtype=jnp.bfloat16) -> int:
     p = code.params
     itemsize = jnp.dtype(dtype).itemsize
     sumA = sum(len(r) for r in s.rows)
-    # v + va in VMEM, bits double-buffered s8 out; llrs stay in HBM and are
-    # DMA'd straight into va each iteration
-    per_lane = (sumA * s.m + p.n_vars) * itemsize + 2 * p.n_vars
-    budget = 13 * 1024 * 1024  # leave slack under the 16 MB scoped limit
+    # VMEM per lane: v + va + llr tile (dtype) + local bits (s8)
+    per_lane = (sumA * s.m + 2 * p.n_vars) * itemsize + p.n_vars
+    budget = int(14.5 * 1024 * 1024)  # slack under the 16 MB scoped limit
     bt = budget // per_lane
     return int(max(64, min(512, (bt // 64) * 64)))
 
@@ -128,8 +142,8 @@ def make_ms_decoder_pallas(
 
     cdt = jnp.float32  # compute dtype (v5e Mosaic: no bf16 vector compares)
     f32 = lambda x: x.astype(cdt)
-    alpha_f = None if alpha is None else float(alpha)  # python scalar: jnp
-    big = float(jnp.finfo(dtype).max)  # constants would be captured tracers
+    alpha_f = None if alpha is None else float(alpha)
+    big = float(jnp.finfo(dtype).max)
 
     def _row_stats(v_rows):
         """List of (M, Bt) f32 messages -> (min1, min2, sign-product).
@@ -158,43 +172,46 @@ def make_ms_decoder_pallas(
         neg = jnp.logical_xor(sgn, v < 0)
         return jnp.where(neg, -mag, mag)
 
-    def kernel(llr_ref, bits_ref, done_ref, iters_ref, v_ref, va_ref, llr_sem):
-        # llr_ref: (V, B) dtype in HBM (punctured tail pre-zeroed); the tile
-        # is DMA'd straight into va each iteration (saves the double-buffered
-        # VMEM input block that would blow the 16 MB budget on TM8192).
-        # bits_ref: (V, Bt) int8 out; done_ref/iters_ref: (1, Bt) int32 out;
-        # scratch: v (sumA*M, Bt) dtype, va (Cc*M, Bt) dtype.
+    def kernel(
+        llr_hbm, bits_hbm, done_hbm, iters_hbm, v_ref, va_ref, llr_l, bits_l, flags_l, sems
+    ):
+        # llr_hbm: (V, B) dtype in HBM (punctured tail pre-zeroed);
+        # bits_hbm: (V, B) int8 out; done_hbm/iters_hbm: (8, B) int32 out
+        # (8 sublanes for int32 tiling; row 0 is the payload).
+        # VMEM scratch: v (sumA*M, Bt), va + llr tile (Cc*M, Bt), bits_l
+        # (V, Bt) s8, flags_l (16, Bt) s32 (row 0 = done, row 8 = iters).
         zero = jnp.zeros((), cdt)
         tile = pl.program_id(0)
 
-        def load_llrs():
-            cp = pltpu.make_async_copy(
-                llr_ref.at[:, pl.ds(tile * Bt, Bt)], va_ref, llr_sem
-            )
-            cp.start()
-            cp.wait()
+        cp = pltpu.make_async_copy(llr_hbm.at[:, pl.ds(tile * Bt, Bt)], llr_l, sems.at[0])
+        cp.start()
+        cp.wait()
 
-        v_ref[:] = jnp.zeros((sumA * M, Bt), dtype)  # zeroed working set (decoder.rs:374)
-        done_ref[:] = jnp.zeros((1, Bt), jnp.int32)
-        iters_ref[:] = jnp.full((1, Bt), maxiters, jnp.int32)
-        bits_ref[:] = jnp.zeros((V, Bt), jnp.int8)
+        for e in range(sumA):  # zeroed working set (decoder.rs:374), block-wise
+            v_ref[e * M : (e + 1) * M] = jnp.zeros((M, Bt), dtype)
+        flags_l[0:8] = jnp.zeros((8, Bt), jnp.int32)  # done
+        flags_l[8:16] = jnp.full((8, Bt), maxiters, jnp.int32)  # iters
+        for c in range(Cc):
+            bits_l[c * M : (c + 1) * M] = jnp.zeros((M, Bt), jnp.int8)
 
-        def load_row(r):
-            return [
-                f32(v_ref[(row_off[r] + a) * M : (row_off[r] + a + 1) * M])
-                for a in range(len(s.rows[r]))
-            ]
+        def load_v(r, a):
+            e = row_off[r] + a
+            return f32(v_ref[e * M : (e + 1) * M])
+
+        def row_stats(r):
+            # stream addends one at a time: Mosaic sizes its stack for the
+            # PEAK live set, so retaining all A_r f32 upcasts is unaffordable
+            return _row_stats([load_v(r, a) for a in range(len(s.rows[r]))])
 
         def body(carry):
             it, _all_done = carry
 
             # ---- variable sweep: va = llr + sum of u (decoder.rs:388-411)
-            load_llrs()
+            va_ref[:] = llr_l[:]
             for r in range(R):
-                v_rows = load_row(r)
-                m1, m2, sgn = _row_stats(v_rows)
+                m1, m2, sgn = row_stats(r)
                 for a, perm in enumerate(s.rows[r]):
-                    u = _u_from(v_rows[a], m1, m2, sgn)
+                    u = _u_from(load_v(r, a), m1, m2, sgn)
                     cs = perm.col * M
                     va_ref[cs : cs + M] = (
                         f32(va_ref[cs : cs + M]) + _perm(u, perm, inverse=True)
@@ -203,11 +220,10 @@ def make_ms_decoder_pallas(
             # ---- check sweep: self-corrected v + parity (decoder.rs:419-450)
             bad = jnp.zeros((1, Bt), jnp.int32)
             for r in range(R):
-                v_rows = load_row(r)
-                m1, m2, sgn = _row_stats(v_rows)
+                m1, m2, sgn = row_stats(r)
                 par = jnp.zeros((M, Bt), jnp.int32)
                 for a, perm in enumerate(s.rows[r]):
-                    v_old = v_rows[a]
+                    v_old = load_v(r, a)
                     u = _u_from(v_old, m1, m2, sgn)
                     g = _perm(f32(va_ref[perm.col * M : (perm.col + 1) * M]), perm, False)
                     # round BEFORE the sign/keep decisions so stored state is
@@ -221,15 +237,18 @@ def make_ms_decoder_pallas(
                 bad = bad + jnp.sum(par & 1, axis=0, keepdims=True)
 
             ok = (bad == 0).astype(jnp.int32)  # (1, Bt)
-            done = done_ref[:]
+            done = flags_l[0:1]
             newly = jnp.logical_and(ok == 1, done == 0)
-            iters_ref[:] = jnp.where(newly, it, iters_ref[:])
-            # freeze outputs at each codeword's convergence iteration
+            flags_l[8:9] = jnp.where(newly, it, flags_l[8:9])
+            # freeze outputs at each codeword's convergence iteration,
+            # block-wise to bound the live temporaries
             live = (done == 0)[0]  # (Bt,)
-            hard = (f32(va_ref[:]) < 0).astype(jnp.int8)
-            bits_ref[:] = jnp.where(live[None, :], hard, bits_ref[:])
-            done_ref[:] = jnp.maximum(done, ok)
-            return it + 1, jnp.min(done_ref[:]) == 1
+            for c in range(Cc):
+                cs = c * M
+                hard = (f32(va_ref[cs : cs + M]) < 0).astype(jnp.int8)
+                bits_l[cs : cs + M] = jnp.where(live[None, :], hard, bits_l[cs : cs + M])
+            flags_l[0:1] = jnp.maximum(done, ok)
+            return it + 1, jnp.min(flags_l[0:1]) == 1
 
         def cond(carry):
             it, all_done = carry
@@ -237,43 +256,71 @@ def make_ms_decoder_pallas(
 
         jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
 
+        # ---- write back the tile's outputs -------------------------------
+        cps = [
+            pltpu.make_async_copy(bits_l, bits_hbm.at[:, pl.ds(tile * Bt, Bt)], sems.at[0]),
+            pltpu.make_async_copy(
+                flags_l.at[0:8], done_hbm.at[:, pl.ds(tile * Bt, Bt)], sems.at[1]
+            ),
+            pltpu.make_async_copy(
+                flags_l.at[8:16], iters_hbm.at[:, pl.ds(tile * Bt, Bt)], sems.at[2]
+            ),
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
     def build_call(B):
         return pl.pallas_call(
             kernel,
             grid=(B // Bt,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=(
-                pl.BlockSpec((V, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((V, B), jnp.int8),
-                jax.ShapeDtypeStruct((1, B), jnp.int32),
-                jax.ShapeDtypeStruct((1, B), jnp.int32),
+                jax.ShapeDtypeStruct((8, B), jnp.int32),
+                jax.ShapeDtypeStruct((8, B), jnp.int32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((sumA * M, Bt), dtype),
                 pltpu.VMEM((Cc * M, Bt), dtype),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((Cc * M, Bt), dtype),
+                pltpu.VMEM((V, Bt), jnp.int8),
+                pltpu.VMEM((16, Bt), jnp.int32),
+                pltpu.SemaphoreType.DMA((3,)),
             ],
             interpret=interpret,
         )
 
+    # The pallas_call runs as its OWN executable: embedding it in a jit
+    # alongside the pad/transpose pre/post ops makes XLA place the ANY
+    # operand and outputs in scoped VMEM (OOM on the big TM codes), so the
+    # three stages dispatch separately.
     @jax.jit
-    def decode(llrs: jnp.ndarray) -> MSResult:
-        llrs = jnp.asarray(llrs, dtype=dtype)
-        assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
+    def _prep(llrs):
+        # (B, n) -> (V, B) node-major, punctured tail zeroed (decoder.rs:382-383)
         B = llrs.shape[0]
-        assert B % Bt == 0, f"batch must be a multiple of {Bt}"
-        llr_t = jnp.concatenate(
-            [llrs.T, jnp.zeros((V - n, B), dtype)], axis=0
-        )  # (V, B), punctured tail zeroed (decoder.rs:382-383)
-        bits_t, done, iters = build_call(B)(llr_t)
+        return jnp.concatenate([llrs.T, jnp.zeros((V - n, B), dtype)], axis=0)
+
+    @jax.jit
+    def _post(bits_t, done, iters):
         return MSResult(
             success=done[0].astype(bool),
             iterations=iters[0],
             bits=bits_t.T.astype(jnp.uint8),
         )
+
+    def decode(llrs: jnp.ndarray) -> MSResult:
+        llrs = jnp.asarray(llrs, dtype=dtype)
+        assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
+        B = llrs.shape[0]
+        assert B % Bt == 0, f"batch must be a multiple of {Bt}"
+        bits_t, done, iters = build_call(B)(_prep(llrs))
+        return _post(bits_t, done, iters)
 
     return decode

@@ -66,11 +66,21 @@ def perm_rows(x: jnp.ndarray, perm: BlockPerm, inverse: bool = False) -> jnp.nda
 
 
 def _second_min(a: jnp.ndarray):
-    """(A, M, B) -> (min1, min2) over axis 0, min2 excluding one argmin slot."""
-    m1 = a.min(axis=0)
-    first = jnp.argmin(a, axis=0)  # first occurrence on ties
-    slot = jnp.arange(a.shape[0], dtype=jnp.int32)[:, None, None]
-    m2 = jnp.where(slot == first[None], jnp.array(jnp.finfo(a.dtype).max, a.dtype), a).min(axis=0)
+    """(A, M, B) -> (min1, min2) over axis 0.
+
+    min2 is the second-smallest of the multiset (ties at min1 give
+    min2 == min1), matching the reference's streaming update
+    (decoder.rs:429-441). Streaming over the small addend axis avoids an
+    argmin tuple-reduction, which XLA lowers poorly on TPU.
+    """
+    big = jnp.full(a.shape[1:], float(jnp.finfo(a.dtype).max), a.dtype)
+    m1 = big
+    m2 = big
+    for i in range(a.shape[0]):
+        ai = a[i]
+        is_new_min = ai < m1
+        m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, ai))
+        m1 = jnp.minimum(m1, ai)
     return m1, m2
 
 
@@ -108,7 +118,7 @@ def make_ms_decoder_qc(
         )
 
         def body_fn(state):
-            vs, min1, min2, sgn, done, iters, va_out, it = state
+            vs, min1, min2, sgn, done, iters, state_bits, it = state
             # vs: tuple of R arrays (A_r, M, B); min1/min2/sgn: (R, M, B)-likes
             # stored as tuples of (M, B).
 
@@ -145,9 +155,11 @@ def make_ms_decoder_qc(
                 new_min2.append(m2)
                 new_sgn.append(sg)
 
-            va_stack = jnp.stack(va, axis=0)  # (Cc, M, B)
+            # freeze uint8 hard decisions (4x cheaper to carry than the f32
+            # marginals) at each codeword's convergence iteration
+            hard = (jnp.stack(va, axis=0) < 0).astype(jnp.uint8)  # (Cc, M, B)
             newly_done = jnp.logical_and(ok, jnp.logical_not(done))
-            va_out = jnp.where(done[None, None, :], va_out, va_stack)
+            bits_out = jnp.where(done[None, None, :], state_bits, hard)
             iters = jnp.where(newly_done, it, iters)
             done = jnp.logical_or(done, ok)
             return (
@@ -157,12 +169,12 @@ def make_ms_decoder_qc(
                 tuple(new_sgn),
                 done,
                 iters,
-                va_out,
+                bits_out,
                 it + 1,
             )
 
         def cond_fn(state):
-            *_, done, _iters, _va, it = state
+            *_, done, _iters, _bits, it = state
             return jnp.logical_and(it < maxiters, jnp.logical_not(done.all()))
 
         z = jnp.zeros((M, B), dtype)
@@ -173,11 +185,11 @@ def make_ms_decoder_qc(
             tuple(jnp.zeros((M, B), bool) for _ in range(R)),
             jnp.zeros((B,), bool),
             jnp.full((B,), maxiters, jnp.int32),
-            llr_blocks,  # va_out placeholder (overwritten on iteration 0)
+            jnp.zeros((Cc, M, B), jnp.uint8),  # bits (overwritten on iter 0)
             jnp.zeros((), jnp.int32),
         )
-        *_, done, iters, va_out, _ = jax.lax.while_loop(cond_fn, body_fn, state)
-        bits = (va_out < 0).reshape(Cc * M, B).T.astype(jnp.uint8)  # (B, V)
+        *_, done, iters, bits_out, _ = jax.lax.while_loop(cond_fn, body_fn, state)
+        bits = bits_out.reshape(Cc * M, B).T  # (B, V) uint8
         return MSResult(success=done, iterations=iters, bits=bits)
 
     return jax.jit(decode)
