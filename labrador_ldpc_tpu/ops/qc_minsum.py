@@ -38,9 +38,13 @@ import numpy as np
 
 from ..codes.expand import BlockPerm, qc_structure
 from ..codes.params import LDPCCode, get_code
+from .convert import unpack_bits
 from .minsum import MSResult
 
-__all__ = ["make_ms_decoder_qc", "perm_rows"]
+# MSB-first packing weights for the in-loop bit freeze
+_MSB_W = np.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=np.uint8)[None, :, None]
+
+__all__ = ["make_ms_decoder_qc", "make_ms_decoder_layered", "perm_rows"]
 
 
 def perm_rows(x: jnp.ndarray, perm: BlockPerm, inverse: bool = False) -> jnp.ndarray:
@@ -63,25 +67,6 @@ def perm_rows(x: jnp.ndarray, perm: BlockPerm, inverse: bool = False) -> jnp.nda
             s = (perm.theta + t) % 4  # source var-side quarter
             parts.append(jnp.roll(x[s * q : (s + 1) * q], -perm.phis[t], axis=0))
     return jnp.concatenate(parts, axis=0)
-
-
-def _second_min(a: jnp.ndarray):
-    """(A, M, B) -> (min1, min2) over axis 0.
-
-    min2 is the second-smallest of the multiset (ties at min1 give
-    min2 == min1), matching the reference's streaming update
-    (decoder.rs:429-441). Streaming over the small addend axis avoids an
-    argmin tuple-reduction, which XLA lowers poorly on TPU.
-    """
-    big = jnp.full(a.shape[1:], float(jnp.finfo(a.dtype).max), a.dtype)
-    m1 = big
-    m2 = big
-    for i in range(a.shape[0]):
-        ai = a[i]
-        is_new_min = ai < m1
-        m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, ai))
-        m1 = jnp.minimum(m1, ai)
-    return m1, m2
 
 
 def make_ms_decoder_qc(
@@ -117,49 +102,69 @@ def make_ms_decoder_qc(
             axis=0,
         )
 
+        big = float(jnp.finfo(dtype).max)
+
+        def u_from(v, m1, m2, sg):
+            """Recompute check->var message from stats (decoder.rs:388-405).
+            Cheaper than carrying u between sweeps: it is a pure function of
+            (v, min1, min2, sign product), and recomputing saves a full
+            |E|-sized read+write of HBM traffic per iteration."""
+            mag = jnp.where(jnp.abs(v) == m1, m2, m1)
+            if alpha_c is not None:
+                mag = alpha_c * mag
+            neg = jnp.logical_xor(sg, v < 0)
+            return jnp.where(neg, -mag, mag)
+
         def body_fn(state):
             vs, min1, min2, sgn, done, iters, state_bits, it = state
             # vs: tuple of R arrays (A_r, M, B); min1/min2/sgn: (R, M, B)-likes
             # stored as tuples of (M, B).
 
             # ---- sweep 1: u from min1/min2 + signs; accumulate marginals ----
-            us = []
             va = [llr_blocks[c] for c in range(Cc)]
             for r in range(R):
-                v = vs[r]
-                mag = jnp.where(jnp.abs(v) == min1[r][None], min2[r][None], min1[r][None])
-                if alpha_c is not None:
-                    mag = alpha_c * mag
-                neg = jnp.logical_xor(sgn[r][None], v < 0)
-                u = jnp.where(neg, -mag, mag)  # (A_r, M, B)
-                us.append(u)
+                u = u_from(vs[r], min1[r][None], min2[r][None], sgn[r][None])
                 for a, perm in enumerate(s.rows[r]):
                     va[perm.col] = va[perm.col] + perm_rows(u[a], perm, inverse=True)
 
             # ---- sweep 2: self-corrected v; check stats; parity -------------
+            # streamed per addend: no (A_r, M, B) stacks materialize beyond
+            # the carried vs, and u is recomputed rather than stored.
             new_vs, new_min1, new_min2, new_sgn = [], [], [], []
             ok = jnp.ones((B,), bool)
             for r in range(R):
-                gathered = jnp.stack(
-                    [perm_rows(va[perm.col], perm) for perm in s.rows[r]], axis=0
-                )  # (A_r, M, B)
-                nv = gathered - us[r]
-                keep = jnp.logical_or((nv < 0) == (vs[r] < 0), vs[r] == 0)
-                nv = jnp.where(keep, nv, jnp.zeros((), dtype))  # (decoder.rs:420-426)
-                m1, m2 = _second_min(jnp.abs(nv))
-                sg = ((nv < 0).sum(axis=0, dtype=jnp.int32) & 1).astype(bool)  # (M, B)
-                par = (gathered < 0).sum(axis=0, dtype=jnp.int32) & 1
-                ok = jnp.logical_and(ok, (par == 0).all(axis=0))
-                new_vs.append(nv)
+                m1 = jnp.full((M, B), big, dtype)
+                m2 = m1
+                sg_cnt = jnp.zeros((M, B), jnp.int32)
+                par = jnp.zeros((M, B), jnp.int32)
+                nv_blocks = []
+                for a, perm in enumerate(s.rows[r]):
+                    v_old = vs[r][a]
+                    u = u_from(v_old, min1[r], min2[r], sgn[r])
+                    g = perm_rows(va[perm.col], perm)
+                    nv = g - u
+                    keep = jnp.logical_or((nv < 0) == (v_old < 0), v_old == 0)
+                    nv = jnp.where(keep, nv, jnp.zeros((), dtype))  # (decoder.rs:420-426)
+                    par = par + (g < 0).astype(jnp.int32)
+                    a1 = jnp.abs(nv)
+                    is_new_min = a1 < m1
+                    m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a1))
+                    m1 = jnp.minimum(m1, a1)
+                    sg_cnt = sg_cnt + (nv < 0).astype(jnp.int32)
+                    nv_blocks.append(nv)
+                ok = jnp.logical_and(ok, ((par & 1) == 0).all(axis=0))
+                new_vs.append(jnp.stack(nv_blocks, axis=0))
                 new_min1.append(m1)
                 new_min2.append(m2)
-                new_sgn.append(sg)
+                new_sgn.append((sg_cnt & 1).astype(bool))
 
-            # freeze uint8 hard decisions (4x cheaper to carry than the f32
-            # marginals) at each codeword's convergence iteration
-            hard = (jnp.stack(va, axis=0) < 0).astype(jnp.uint8)  # (Cc, M, B)
+            # freeze hard decisions at each codeword's convergence iteration,
+            # bit-PACKED (V/8 bytes per lane): 32x cheaper to carry through
+            # the while_loop than f32 marginals
+            hard = (jnp.stack(va, axis=0) < 0).reshape(Cc * M // 8, 8, B)
+            packed = (hard.astype(jnp.uint8) * _MSB_W).sum(axis=1).astype(jnp.uint8)
             newly_done = jnp.logical_and(ok, jnp.logical_not(done))
-            bits_out = jnp.where(done[None, None, :], state_bits, hard)
+            bits_out = jnp.where(done[None, :], state_bits, packed)
             iters = jnp.where(newly_done, it, iters)
             done = jnp.logical_or(done, ok)
             return (
@@ -185,11 +190,140 @@ def make_ms_decoder_qc(
             tuple(jnp.zeros((M, B), bool) for _ in range(R)),
             jnp.zeros((B,), bool),
             jnp.full((B,), maxiters, jnp.int32),
-            jnp.zeros((Cc, M, B), jnp.uint8),  # bits (overwritten on iter 0)
+            jnp.zeros((Cc * M // 8, B), jnp.uint8),  # packed bits (set on iter 0)
             jnp.zeros((), jnp.int32),
         )
         *_, done, iters, bits_out, _ = jax.lax.while_loop(cond_fn, body_fn, state)
-        bits = bits_out.reshape(Cc * M, B).T  # (B, V) uint8
+        bits = unpack_bits(bits_out.T)  # (B, V) uint8
+        return MSResult(success=done, iterations=iters, bits=bits)
+
+    return jax.jit(decode)
+
+
+def make_ms_decoder_layered(
+    code: LDPCCode | str,
+    dtype=jnp.float32,
+    maxiters: int = 20,
+    alpha: float | None = None,
+    self_corrected: bool = True,
+):
+    """Row-layered self-corrected min-sum decoder (opt-in fast variant).
+
+    Standard layered scheduling for QC-LDPC: block-rows of H are processed
+    SEQUENTIALLY within one iteration, each layer consuming the posteriors
+    `va` already updated by the previous layers. Information propagates R
+    times faster through the graph than under the reference's flooding
+    schedule, so the decoder typically needs about half the iterations for
+    the same BER — a deliberate, documented divergence from the reference
+    algorithm (decoder.rs:347-475 is flooding); outputs are validated
+    statistically (waterfall parity) rather than bit-exactly.
+
+    `self_corrected` applies the reference's oscillation-erasure rule
+    (decoder.rs:420-426, Savin arXiv:0803.1090) to the layered extrinsics.
+    `alpha` optionally adds min-sum normalization (None = plain).
+
+    Returns fn(llrs: (B, n) dtype) -> MSResult.
+    """
+    code = get_code(code)
+    p = code.params
+    dtype = jnp.dtype(dtype)
+    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float64)):
+        raise ValueError("layered decoder supports float dtypes")
+    s = qc_structure(code)
+    M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
+    n = p.n
+    n_blocks = n // M
+    alpha_c = None if alpha is None else jnp.array(alpha, dtype=dtype)
+
+    def decode(llrs: jnp.ndarray) -> MSResult:
+        llrs = jnp.asarray(llrs, dtype=dtype)
+        assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
+        B = llrs.shape[0]
+        llr_blocks = jnp.concatenate(
+            [llrs.T.reshape(n_blocks, M, B), jnp.zeros((Cc - n_blocks, M, B), dtype)],
+            axis=0,
+        )
+        big = float(jnp.finfo(dtype).max)
+
+        def body_fn(state):
+            us, tps, va, done, iters, state_bits, it = state
+            # us: tuple of R arrays (A_r, M, B) check->var messages;
+            # tps: previous (self-corrected) extrinsics per layer;
+            # va: (Cc, M, B) posteriors (updated layer by layer).
+            new_us = []
+            new_tps = []
+            for r in range(R):
+                # extrinsic t = va - u for each addend of this layer,
+                # with the reference's self-correction (zero on sign flip)
+                ts = []
+                for a, perm in enumerate(s.rows[r]):
+                    g = perm_rows(va[perm.col], perm)
+                    t = g - us[r][a]
+                    if self_corrected:
+                        tp = tps[r][a]
+                        keep = jnp.logical_or((t < 0) == (tp < 0), tp == 0)
+                        t = jnp.where(keep, t, jnp.zeros((), dtype))
+                    ts.append(t)
+                # two smallest |t| + sign product across the layer's addends
+                m1 = jnp.full((M, B), big, dtype)
+                m2 = m1
+                sg_cnt = jnp.zeros((M, B), jnp.int32)
+                for t in ts:
+                    a1 = jnp.abs(t)
+                    is_new_min = a1 < m1
+                    m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a1))
+                    m1 = jnp.minimum(m1, a1)
+                    sg_cnt = sg_cnt + (t < 0).astype(jnp.int32)
+                sg = (sg_cnt & 1).astype(bool)
+                u_new = []
+                for a, perm in enumerate(s.rows[r]):
+                    t = ts[a]
+                    mag = jnp.where(jnp.abs(t) == m1, m2, m1)
+                    if alpha_c is not None:
+                        mag = alpha_c * mag
+                    neg = jnp.logical_xor(sg, t < 0)
+                    u = jnp.where(neg, -mag, mag)
+                    u_new.append(u)
+                    # va <- t + u_new, i.e. va += perm_inv(u_new - u_old)
+                    va = va.at[perm.col].add(perm_rows(u - us[r][a], perm, inverse=True))
+                new_us.append(jnp.stack(u_new, axis=0))
+                new_tps.append(jnp.stack(ts, axis=0))
+
+            # end-of-iteration syndrome over the FINAL posteriors: per-layer
+            # parities taken mid-sweep are stale (later layers may flip bits
+            # earlier checks relied on). Signs are uint8 planes, so these
+            # extra rolls move 1/4 the bytes of the message rolls.
+            signs = [(va[c] < 0).astype(jnp.uint8) for c in range(Cc)]
+            ok = jnp.ones((B,), bool)
+            for r in range(R):
+                par = jnp.zeros((M, B), jnp.uint8)
+                for perm in s.rows[r]:
+                    par = par ^ perm_rows(signs[perm.col], perm)
+                ok = jnp.logical_and(ok, (par == 0).all(axis=0))
+
+            hard = (va < 0).reshape(Cc * M // 8, 8, B)
+            packed = (hard.astype(jnp.uint8) * _MSB_W).sum(axis=1).astype(jnp.uint8)
+            newly_done = jnp.logical_and(ok, jnp.logical_not(done))
+            bits_out = jnp.where(done[None, :], state_bits, packed)
+            iters = jnp.where(newly_done, it, iters)
+            done = jnp.logical_or(done, ok)
+            return tuple(new_us), tuple(new_tps), va, done, iters, bits_out, it + 1
+
+        def cond_fn(state):
+            _, _, _, done, _iters, _bits, it = state
+            return jnp.logical_and(it < maxiters, jnp.logical_not(done.all()))
+
+        state = (
+            tuple(jnp.zeros((len(s.rows[r]), M, B), dtype) for r in range(R)),
+            tuple(jnp.zeros((len(s.rows[r]), M, B), dtype) for r in range(R)),
+            llr_blocks,
+            jnp.zeros((B,), bool),
+            jnp.full((B,), maxiters, jnp.int32),
+            jnp.zeros((Cc * M // 8, B), jnp.uint8),
+            jnp.zeros((), jnp.int32),
+        )
+        *_, done, iters, bits_out, _ = jax.lax.while_loop(cond_fn, body_fn, state)
+        bits = unpack_bits(bits_out.T)  # (B, V)
         return MSResult(success=done, iterations=iters, bits=bits)
 
     return jax.jit(decode)

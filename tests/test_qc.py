@@ -117,3 +117,44 @@ def test_qc_normalized_minsum_smoke():
 def test_qc_rejects_int_dtype():
     with pytest.raises(ValueError):
         make_ms_decoder_qc("TC128", jnp.int8)
+
+
+@pytest.mark.parametrize("name", ["TC128", "TM1280", "TM8192"])
+def test_layered_three_bit_flips(name):
+    """Layered schedule recovers the reference scenario on all code types."""
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_layered
+
+    code = get_code(name)
+    B = 4
+    rng = np.random.default_rng(13)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    rx = cw.copy()
+    rx[:, [0, 3, 5]] ^= 1
+    llrs = hard_to_llrs(pack_bits(jnp.asarray(rx)), jnp.float32)
+    res = make_ms_decoder_layered(code, jnp.float32, maxiters=50)(llrs)
+    assert bool(np.asarray(res.success).all())
+    np.testing.assert_array_equal(np.asarray(res.bits)[:, : code.n], cw)
+    # layered reaches convergence in fewer iterations than flooding
+    r_flood = make_ms_decoder_qc(code, jnp.float32, maxiters=50)(llrs)
+    assert (np.asarray(res.iterations) <= np.asarray(r_flood.iterations)).all()
+
+
+def test_layered_success_implies_valid_codeword():
+    """success=True must mean a zero syndrome (end-of-iteration check, not
+    the stale per-layer parities)."""
+    from labrador_ldpc_tpu.codes.expand import parity_check_matrix
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_layered
+
+    code = get_code("TC256")
+    B = 64
+    rng = np.random.default_rng(14)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = jnp.asarray(tx + 0.65 * rng.standard_normal(tx.shape).astype(np.float32))
+    res = make_ms_decoder_layered(code, jnp.float32, maxiters=20)(noisy)
+    H = parity_check_matrix(code)
+    bits = np.asarray(res.bits)
+    for i in np.nonzero(np.asarray(res.success))[0]:
+        assert int(((H @ bits[i]) & 1).sum()) == 0
