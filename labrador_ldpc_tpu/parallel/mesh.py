@@ -25,7 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..codes.params import LDPCCode, get_code
 from ..channel.awgn import ChannelStats
 from ..ops.encoder import encode_bits
-from ..ops.minsum import make_ms_decoder
+from ..ops.minsum import make_ms_decoder  # noqa: F401 (re-export)
+from ..ops.qc_minsum import make_ms_decoder_qc
 
 __all__ = ["make_batch_mesh", "batch_sharding", "make_sharded_decoder", "make_sharded_trial_step"]
 
@@ -60,7 +61,7 @@ def make_sharded_decoder(
     all-done predicate crosses chips (a tiny boolean all-reduce).
     """
     code = get_code(code)
-    decoder = make_ms_decoder(code, dtype, maxiters, alpha)
+    decoder = make_ms_decoder_qc(code, dtype, maxiters, alpha)
     in_s = NamedSharding(mesh, P("batch", None))
 
     def decode(llrs):
@@ -90,7 +91,7 @@ def make_sharded_trial_step(
     p = code.params
     dtype = jnp.dtype(dtype)
     assert global_batch % mesh.devices.size == 0
-    decoder = make_ms_decoder(code, dtype, maxiters, alpha)
+    decoder = make_ms_decoder_qc(code, dtype, maxiters, alpha)
     data_s = NamedSharding(mesh, P("batch", None))
 
     def step(key, sigma) -> ChannelStats:

@@ -201,3 +201,31 @@ def test_decode_ms_f64_matches_oracle_under_x64():
     assert bool(np.asarray(res.success)[0]) == ok_o
     assert int(np.asarray(res.iterations)[0]) == it_o
     np.testing.assert_array_equal(np.packbits(np.asarray(res.bits)[0]), out_o)
+
+
+def test_bf_qc_matches_gather_impl():
+    """QC roll-based BF must be bit-exact with the gather implementation
+    (deterministic flip rule) on clean, 3-flip, and undecodable inputs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from labrador_ldpc_tpu.codes.params import get_code
+    from labrador_ldpc_tpu.ops.bitflip import make_bf_decoder, make_bf_decoder_qc
+    from labrador_ldpc_tpu.ops.convert import unpack_bits
+    from labrador_ldpc_tpu.ops.encoder import encode
+    from labrador_ldpc_tpu.utils import oracle
+
+    for name in ("TC128", "TC512", "TM1280", "TM8192"):
+        code = get_code(name)
+        B = 6
+        rng = np.random.default_rng(17)
+        data = rng.integers(0, 256, (B, code.k // 8), dtype=np.uint8)
+        cw = np.array(encode(code, jnp.asarray(data)))
+        rx = cw.copy()
+        rx[0:2, 0] ^= 0xA8  # 3 flips
+        rx[2] = rng.integers(0, 256, code.n // 8, dtype=np.uint8)  # garbage
+        bits = unpack_bits(jnp.asarray(rx))
+        r1 = make_bf_decoder(code, maxiters=20)(bits)
+        r2 = make_bf_decoder_qc(code, maxiters=20)(bits)
+        np.testing.assert_array_equal(np.asarray(r1.bits), np.asarray(r2.bits))
+        np.testing.assert_array_equal(np.asarray(r1.success), np.asarray(r2.success))
+        np.testing.assert_array_equal(np.asarray(r1.iterations), np.asarray(r2.iterations))
