@@ -147,10 +147,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="TC128 + TM8192 only")
     ap.add_argument("--codes", default=None, help="comma-separated code list")
-    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--filter", default="", help="only benches containing this substring")
     ap.add_argument("--no-capi", action="store_true")
+    ap.add_argument("--with-pallas", action="store_true",
+                    help="include the experimental fused Pallas kernel (very slow compiles on big codes)")
     ap.add_argument("--out", default=str(Path(__file__).parent / "results.jsonl"))
     args = ap.parse_args()
 
@@ -164,7 +166,9 @@ def main() -> int:
         codes = [c.value for c in ALL_CODES]
 
     impls = [("ref", "float32"), ("qc", "float32"), ("qc", "bfloat16"),
-             ("pallas", "bfloat16"), ("ref", "int8")]
+             ("layered", "bfloat16"), ("ref", "int8")]
+    if args.with_pallas:
+        impls.append(("pallas", "bfloat16"))
 
     results: list[dict] = []
     t_start = time.time()

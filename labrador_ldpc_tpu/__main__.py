@@ -71,7 +71,7 @@ def main(argv=None) -> int:
     w.add_argument("--noise-model", choices=["perftest", "ebn0"], default="perftest")
     w.add_argument("--dtype", default="float32", help="float32|bfloat16|int8|int16")
     w.add_argument("--alpha", type=float, default=None, help="normalized min-sum factor")
-    w.add_argument("--impl", choices=["ref", "qc", "pallas"], default="qc")
+    w.add_argument("--impl", choices=["ref", "qc", "layered", "pallas"], default="qc")
     w.add_argument("--seed", type=int, default=0)
     w.add_argument("--verbose", action="store_true")
     w.set_defaults(fn=_cmd_waterfall)

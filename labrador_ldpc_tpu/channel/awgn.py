@@ -31,20 +31,25 @@ from ..ops.minsum import make_ms_decoder
 
 def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     """Select the min-sum implementation: "ref" (reference-order XLA),
-    "qc" (roll-based XLA), or "pallas" (fused VMEM-resident kernel)."""
+    "qc" (roll-based XLA), "layered" (row-layered schedule), or "pallas"
+    (experimental fused kernel)."""
     if impl == "ref":
         return make_ms_decoder(code, dtype, maxiters, alpha)
     if impl == "qc":
         from ..ops.qc_minsum import make_ms_decoder_qc
 
         return make_ms_decoder_qc(code, dtype, maxiters, alpha)
+    if impl == "layered":
+        from ..ops.qc_minsum import make_ms_decoder_layered
+
+        return make_ms_decoder_layered(code, dtype, maxiters, alpha)
     if impl == "pallas":
         from ..ops.pallas_minsum import make_ms_decoder_pallas
 
         return make_ms_decoder_pallas(code, dtype, maxiters, alpha)
     raise ValueError(f"unknown decoder impl {impl!r} (ref|qc|pallas)")
 
-__all__ = ["ChannelStats", "make_trial_step", "noise_sigma"]
+__all__ = ["ChannelStats", "make_trial_step", "make_two_stage_decoder", "noise_sigma"]
 
 
 class ChannelStats(NamedTuple):
@@ -107,3 +112,58 @@ def make_trial_step(
         )
 
     return jax.jit(step)
+
+
+def make_two_stage_decoder(
+    code: LDPCCode | str,
+    maxiters_fast: int = 25,
+    maxiters_rescue: int = 100,
+    dtype=jnp.bfloat16,
+    rescue_dtype=jnp.float32,
+):
+    """Production two-stage decode: layered fast pass + flooding rescue.
+
+    The layered schedule converges in roughly half the iterations but can
+    stall on a tiny fraction of near-threshold frames where the flooding
+    self-corrected min-sum still converges. Stage 1 decodes everything with
+    the layered decoder; stage 2 re-decodes ONLY the failed frames (host-side
+    gather, so the rescue batch is tiny and its cost amortizes to
+    failure_rate * batch). Returns fn(llrs: (B, n)) -> MSResult with
+    combined results.
+
+    This is a host-orchestrated harness utility (two jit dispatches, data-
+    dependent batch), not a jittable op.
+    """
+    from ..ops.qc_minsum import make_ms_decoder_layered, make_ms_decoder_qc
+
+    code = get_code(code)
+    fast = make_ms_decoder_layered(code, dtype, maxiters_fast)
+    rescue = make_ms_decoder_qc(code, rescue_dtype, maxiters_rescue)
+
+    def decode(llrs):
+        import numpy as np
+
+        res = fast(llrs)
+        success = np.asarray(res.success)
+        if success.all():
+            return res
+        bad = np.nonzero(~success)[0]
+        # pad the rescue batch to a power-of-two bucket to bound recompiles
+        pad = 1 << max(3, int(np.ceil(np.log2(len(bad)))))
+        idx = np.pad(bad, (0, pad - len(bad)), mode="edge")
+        r2 = rescue(jnp.asarray(np.asarray(llrs, dtype=np.float32)[idx]))
+        bits = np.asarray(res.bits).copy()
+        succ = success.copy()
+        iters = np.asarray(res.iterations).copy()
+        bits[bad] = np.asarray(r2.bits)[: len(bad)]
+        succ[bad] = np.asarray(r2.success)[: len(bad)]
+        iters[bad] = maxiters_fast + np.asarray(r2.iterations)[: len(bad)]
+        from ..ops.minsum import MSResult
+
+        return MSResult(
+            success=jnp.asarray(succ),
+            iterations=jnp.asarray(iters),
+            bits=jnp.asarray(bits),
+        )
+
+    return decode

@@ -49,3 +49,28 @@ def test_waterfall_runner_small():
     # BER at 2 dB (sigma=0.63) should be well below raw channel error rate
     raw_ber = 0.056  # Q(1/0.63)
     assert p.ber < raw_ber
+
+
+def test_two_stage_decoder_rescues():
+    """Stage-2 flooding rescue re-decodes only the failed frames."""
+    from labrador_ldpc_tpu.channel import make_two_stage_decoder
+    from labrador_ldpc_tpu.ops.encoder import encode_bits
+
+    c = get_code("TC128")
+    B = 64
+    rng = np.random.default_rng(23)
+    data = rng.integers(0, 2, (B, c.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(c, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    # noisy enough that the 2-iteration fast pass fails on some frames
+    noisy = jnp.asarray(tx + 0.55 * rng.standard_normal(tx.shape).astype(np.float32))
+    dec = make_two_stage_decoder(c, maxiters_fast=2, maxiters_rescue=50)
+    res = dec(noisy)
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_layered
+
+    fast_only = make_ms_decoder_layered(c, jnp.bfloat16, 2)(noisy)
+    assert int(np.asarray(res.success).sum()) >= int(np.asarray(fast_only.success).sum())
+    # every success is a valid codeword on the data bits we know
+    ok = np.asarray(res.success)
+    good = (np.asarray(res.bits)[:, : c.k] == data).all(axis=1)
+    assert (good[ok].mean() if ok.any() else 1.0) > 0.9
