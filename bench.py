@@ -36,7 +36,7 @@ def main():
     from labrador_ldpc_tpu.ops.encoder import encode
 
     code = get_code("TM8192")
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     impl = os.environ.get("BENCH_IMPL", "qc")  # ref | qc | pallas
     rng = np.random.default_rng(0)
     data = rng.integers(0, 256, (B, code.k // 8), dtype=np.uint8)
