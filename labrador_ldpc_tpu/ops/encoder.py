@@ -37,10 +37,13 @@ def _g_parity_i8(code: LDPCCode) -> np.ndarray:
 def encode_bits(code: LDPCCode | str, data_bits: jnp.ndarray) -> jnp.ndarray:
     """(B, k) data bits -> (B, n) codeword bits (systematic), uint8."""
     code = get_code(code)
-    g = jnp.asarray(_g_parity_i8(code))
-    x = jnp.asarray(data_bits, dtype=jnp.int8)
-    parity = jnp.dot(x, g, preferred_element_type=jnp.int32) & 1
-    return jnp.concatenate([data_bits.astype(jnp.uint8), parity.astype(jnp.uint8)], axis=-1)
+    with jax.named_scope("gf2_encode_mxu"):
+        g = jnp.asarray(_g_parity_i8(code))
+        x = jnp.asarray(data_bits, dtype=jnp.int8)
+        parity = jnp.dot(x, g, preferred_element_type=jnp.int32) & 1
+        return jnp.concatenate(
+            [data_bits.astype(jnp.uint8), parity.astype(jnp.uint8)], axis=-1
+        )
 
 
 def encode(code: LDPCCode | str, data_bytes: jnp.ndarray) -> jnp.ndarray:

@@ -121,11 +121,12 @@ def make_ms_decoder_qc(
             # stored as tuples of (M, B).
 
             # ---- sweep 1: u from min1/min2 + signs; accumulate marginals ----
-            va = [llr_blocks[c] for c in range(Cc)]
-            for r in range(R):
-                u = u_from(vs[r], min1[r][None], min2[r][None], sgn[r][None])
-                for a, perm in enumerate(s.rows[r]):
-                    va[perm.col] = va[perm.col] + perm_rows(u[a], perm, inverse=True)
+            with jax.named_scope("ms_var_sweep"):
+                va = [llr_blocks[c] for c in range(Cc)]
+                for r in range(R):
+                    u = u_from(vs[r], min1[r][None], min2[r][None], sgn[r][None])
+                    for a, perm in enumerate(s.rows[r]):
+                        va[perm.col] = va[perm.col] + perm_rows(u[a], perm, inverse=True)
 
             # ---- sweep 2: self-corrected v; check stats; parity -------------
             # streamed per addend: no (A_r, M, B) stacks materialize beyond
