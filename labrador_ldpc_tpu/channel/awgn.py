@@ -17,14 +17,13 @@ Two noise models:
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..codes.params import LDPCCode, get_code
-from ..ops.convert import pack_bits
 from ..ops.encoder import encode_bits
 from ..ops.minsum import make_ms_decoder
 

@@ -29,9 +29,6 @@ int8/int16 paths that need the reference's exact accumulation order.
 
 from __future__ import annotations
 
-from functools import lru_cache
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

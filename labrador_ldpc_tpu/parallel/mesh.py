@@ -16,8 +16,6 @@ No tensor/pipeline/sequence parallelism is warranted: a codeword is at most
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -25,7 +23,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..codes.params import LDPCCode, get_code
 from ..channel.awgn import ChannelStats
 from ..ops.encoder import encode_bits
-from ..ops.minsum import make_ms_decoder  # noqa: F401 (re-export)
 from ..ops.qc_minsum import make_ms_decoder_qc
 
 __all__ = ["make_batch_mesh", "batch_sharding", "make_sharded_decoder", "make_sharded_trial_step"]
