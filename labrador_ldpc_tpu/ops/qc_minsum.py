@@ -41,7 +41,7 @@ from .minsum import MSResult
 # MSB-first packing weights for the in-loop bit freeze
 _MSB_W = np.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=np.uint8)[None, :, None]
 
-__all__ = ["make_ms_decoder_qc", "make_ms_decoder_layered", "perm_rows"]
+__all__ = ["make_ms_decoder_qc", "make_ms_decoder_layered", "make_ms_decoder_qc_i8", "perm_rows"]
 
 
 def perm_rows(x: jnp.ndarray, perm: BlockPerm, inverse: bool = False) -> jnp.ndarray:
@@ -322,6 +322,124 @@ def make_ms_decoder_layered(
         )
         *_, done, iters, bits_out, _ = jax.lax.while_loop(cond_fn, body_fn, state)
         bits = unpack_bits(bits_out.T)  # (B, V)
+        return MSResult(success=done, iterations=iters, bits=bits)
+
+    return jax.jit(decode)
+
+
+def make_ms_decoder_qc_i8(
+    code: LDPCCode | str,
+    maxiters: int = 20,
+):
+    """QC roll-based self-corrected min-sum with int8 messages.
+
+    The fast low-precision mode: message/marginal storage is int8 (4x less
+    roll traffic than f32), arithmetic is saturating via int32 intermediates
+    — the same saturation semantics as the reference's i8 `DecodeFrom`
+    (decoder.rs:42-55: clamp to [-128, 127] at every add/sub, |x| clamped to
+    127), though accumulation ORDER follows the QC block order rather than
+    the reference's edge order, so results are validated statistically and
+    on decode outcomes (ops/minsum.py keeps the bit-exact i8 path).
+
+    Returns fn(llrs: (B, n) int8) -> MSResult.
+    """
+    code = get_code(code)
+    p = code.params
+    s = qc_structure(code)
+    M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
+    n = p.n
+    n_blocks = n // M
+    LO, HI = -128, 127
+
+    def sat(x32):
+        return jnp.clip(x32, LO, HI)
+
+    def decode(llrs: jnp.ndarray) -> MSResult:
+        llrs = jnp.asarray(llrs, jnp.int8)
+        assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
+        B = llrs.shape[0]
+        llr_blocks = jnp.concatenate(
+            [llrs.T.reshape(n_blocks, M, B), jnp.zeros((Cc - n_blocks, M, B), jnp.int8)],
+            axis=0,
+        ).astype(jnp.int32)
+
+        def u_from(v, m1, m2, sg):
+            """v/m1/m2: int32 (values within int8 range); sg: bool."""
+            mag = jnp.where(jnp.abs(v) == m1, m2, m1)
+            neg = jnp.logical_xor(sg, v < 0)
+            return jnp.where(neg, -mag, mag)
+
+        def body_fn(state):
+            vs, min1, min2, sgn, done, iters, state_bits, it = state
+            # vs int8 storage -> int32 compute
+            vs32 = [vs[r].astype(jnp.int32) for r in range(R)]
+
+            # sweep 1: marginals with per-step saturation (decoder.rs:46-48)
+            va = [llr_blocks[c] for c in range(Cc)]
+            for r in range(R):
+                u = u_from(vs32[r], min1[r][None].astype(jnp.int32),
+                           min2[r][None].astype(jnp.int32), sgn[r][None])
+                for a, perm in enumerate(s.rows[r]):
+                    va[perm.col] = sat(va[perm.col] + perm_rows(u[a], perm, inverse=True))
+
+            # sweep 2: self-corrected v; streamed stats; parity
+            new_vs, new_min1, new_min2, new_sgn = [], [], [], []
+            ok = jnp.ones((B,), bool)
+            for r in range(R):
+                m1o = min1[r].astype(jnp.int32)
+                m2o = min2[r].astype(jnp.int32)
+                m1 = jnp.full((M, B), HI, jnp.int32)
+                m2 = m1
+                sg_cnt = jnp.zeros((M, B), jnp.int32)
+                par = jnp.zeros((M, B), jnp.int32)
+                nv_blocks = []
+                for a, perm in enumerate(s.rows[r]):
+                    v_old = vs32[r][a]
+                    u = u_from(v_old, m1o, m2o, sgn[r])
+                    g = perm_rows(va[perm.col], perm)
+                    nv = sat(g - u)
+                    keep = jnp.logical_or((nv < 0) == (v_old < 0), v_old == 0)
+                    nv = jnp.where(keep, nv, 0)
+                    par = par + (g < 0).astype(jnp.int32)
+                    a1 = jnp.minimum(jnp.abs(nv), HI)  # saturating_abs
+                    is_new_min = a1 < m1
+                    m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a1))
+                    m1 = jnp.minimum(m1, a1)
+                    sg_cnt = sg_cnt + (nv < 0).astype(jnp.int32)
+                    nv_blocks.append(nv)
+                ok = jnp.logical_and(ok, ((par & 1) == 0).all(axis=0))
+                new_vs.append(jnp.stack(nv_blocks, axis=0).astype(jnp.int8))
+                new_min1.append(m1.astype(jnp.int8))
+                new_min2.append(m2.astype(jnp.int8))
+                new_sgn.append((sg_cnt & 1).astype(bool))
+
+            hard = (jnp.stack(va, axis=0) < 0).reshape(Cc * M // 8, 8, B)
+            packed = (hard.astype(jnp.uint8) * _MSB_W).sum(axis=1).astype(jnp.uint8)
+            newly_done = jnp.logical_and(ok, jnp.logical_not(done))
+            bits_out = jnp.where(done[None, :], state_bits, packed)
+            iters = jnp.where(newly_done, it, iters)
+            done = jnp.logical_or(done, ok)
+            return (
+                tuple(new_vs), tuple(new_min1), tuple(new_min2), tuple(new_sgn),
+                done, iters, bits_out, it + 1,
+            )
+
+        def cond_fn(state):
+            *_, done, _iters, _bits, it = state
+            return jnp.logical_and(it < maxiters, jnp.logical_not(done.all()))
+
+        z8 = tuple(jnp.zeros((len(s.rows[r]), M, B), jnp.int8) for r in range(R))
+        zmb = tuple(jnp.zeros((M, B), jnp.int8) for _ in range(R))
+        state = (
+            z8, zmb, zmb,
+            tuple(jnp.zeros((M, B), bool) for _ in range(R)),
+            jnp.zeros((B,), bool),
+            jnp.full((B,), maxiters, jnp.int32),
+            jnp.zeros((Cc * M // 8, B), jnp.uint8),
+            jnp.zeros((), jnp.int32),
+        )
+        *_, done, iters, bits_out, _ = jax.lax.while_loop(cond_fn, body_fn, state)
+        bits = unpack_bits(bits_out.T)
         return MSResult(success=done, iterations=iters, bits=bits)
 
     return jax.jit(decode)

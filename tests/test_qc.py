@@ -158,3 +158,37 @@ def test_layered_success_implies_valid_codeword():
     bits = np.asarray(res.bits)
     for i in np.nonzero(np.asarray(res.success))[0]:
         assert int(((H @ bits[i]) & 1).sum()) == 0
+
+
+def test_qc_i8_decodes_all_codes():
+    """Saturating int8 QC path: 3-bit-flip recovery + valid-codeword checks."""
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_qc_i8
+
+    for name in ("TC256", "TM2048"):
+        code = get_code(name)
+        B = 8
+        rng = np.random.default_rng(31)
+        data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+        cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+        rx = cw.copy()
+        rx[:, [0, 3, 5]] ^= 1
+        llrs = jnp.asarray(np.where(rx == 1, -4, 4).astype(np.int8))
+        res = make_ms_decoder_qc_i8(code, maxiters=50)(llrs)
+        assert bool(np.asarray(res.success).all())
+        np.testing.assert_array_equal(np.asarray(res.bits)[:, : code.n], cw)
+
+
+def test_qc_i8_saturation_does_not_break_convergence():
+    """Extreme +-127 inputs exercise the saturating clamps."""
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_qc_i8
+
+    code = get_code("TC128")
+    rng = np.random.default_rng(32)
+    data = rng.integers(0, 2, (4, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    rx = cw.copy()
+    rx[:, [2, 40]] ^= 1
+    llrs = jnp.asarray(np.where(rx == 1, -127, 127).astype(np.int8))
+    res = make_ms_decoder_qc_i8(code, maxiters=50)(llrs)
+    assert bool(np.asarray(res.success).all())
+    np.testing.assert_array_equal(np.asarray(res.bits)[:, : code.n], cw)
