@@ -114,30 +114,34 @@ def make_ms_decoder_qc(
 
         def body_fn(state):
             vs, min1, min2, sgn, done, iters, state_bits, it = state
-            # vs: tuple of R arrays (A_r, M, B); min1/min2/sgn: (R, M, B)-likes
-            # stored as tuples of (M, B).
+            # vs: FLAT tuple of sumA (M, B) arrays — carrying per-addend
+            # blocks (not (A_r, M, B) stacks) lets XLA update the loop state
+            # in place; stacked carries cost a slice + restack copy of the
+            # whole message set every iteration (visible as copy-start pairs
+            # in the profile). min1/min2/sgn: tuples of (M, B) per row.
 
             # ---- sweep 1: u from min1/min2 + signs; accumulate marginals ----
             with jax.named_scope("ms_var_sweep"):
                 va = [llr_blocks[c] for c in range(Cc)]
+                e = 0
                 for r in range(R):
-                    u = u_from(vs[r], min1[r][None], min2[r][None], sgn[r][None])
-                    for a, perm in enumerate(s.rows[r]):
-                        va[perm.col] = va[perm.col] + perm_rows(u[a], perm, inverse=True)
+                    for perm in s.rows[r]:
+                        u = u_from(vs[e], min1[r], min2[r], sgn[r])
+                        va[perm.col] = va[perm.col] + perm_rows(u, perm, inverse=True)
+                        e += 1
 
             # ---- sweep 2: self-corrected v; check stats; parity -------------
-            # streamed per addend: no (A_r, M, B) stacks materialize beyond
-            # the carried vs, and u is recomputed rather than stored.
+            # streamed per addend; u recomputed rather than stored
             new_vs, new_min1, new_min2, new_sgn = [], [], [], []
             ok = jnp.ones((B,), bool)
+            e = 0
             for r in range(R):
                 m1 = jnp.full((M, B), big, dtype)
                 m2 = m1
                 sg_cnt = jnp.zeros((M, B), jnp.int32)
                 par = jnp.zeros((M, B), jnp.int32)
-                nv_blocks = []
-                for a, perm in enumerate(s.rows[r]):
-                    v_old = vs[r][a]
+                for perm in s.rows[r]:
+                    v_old = vs[e]
                     u = u_from(v_old, min1[r], min2[r], sgn[r])
                     g = perm_rows(va[perm.col], perm)
                     nv = g - u
@@ -149,9 +153,9 @@ def make_ms_decoder_qc(
                     m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a1))
                     m1 = jnp.minimum(m1, a1)
                     sg_cnt = sg_cnt + (nv < 0).astype(jnp.int32)
-                    nv_blocks.append(nv)
+                    new_vs.append(nv)
+                    e += 1
                 ok = jnp.logical_and(ok, ((par & 1) == 0).all(axis=0))
-                new_vs.append(jnp.stack(nv_blocks, axis=0))
                 new_min1.append(m1)
                 new_min2.append(m2)
                 new_sgn.append((sg_cnt & 1).astype(bool))
@@ -181,8 +185,9 @@ def make_ms_decoder_qc(
             return jnp.logical_and(it < maxiters, jnp.logical_not(done.all()))
 
         z = jnp.zeros((M, B), dtype)
+        sumA = sum(len(row) for row in s.rows)
         state = (
-            tuple(jnp.zeros((len(s.rows[r]), M, B), dtype) for r in range(R)),
+            tuple(z for _ in range(sumA)),  # flat per-addend messages
             tuple(z for _ in range(R)),  # min1 = 0 (decoder.rs:374)
             tuple(z for _ in range(R)),  # min2 = 0
             tuple(jnp.zeros((M, B), bool) for _ in range(R)),
@@ -243,22 +248,28 @@ def make_ms_decoder_layered(
         )
         big = float(jnp.finfo(dtype).max)
 
+        row_off = [0]
+        for row in s.rows:
+            row_off.append(row_off[-1] + len(row))
+
         def body_fn(state):
             us, tps, va, done, iters, state_bits, it = state
-            # us: tuple of R arrays (A_r, M, B) check->var messages;
-            # tps: previous (self-corrected) extrinsics per layer;
+            # us: FLAT tuple of sumA (M, B) check->var messages (stacked
+            # carries cost a slice+restack copy per iteration);
+            # tps: previous (self-corrected) extrinsics, same layout;
             # va: (Cc, M, B) posteriors (updated layer by layer).
-            new_us = []
-            new_tps = []
+            new_us = list(us)
+            new_tps = list(tps)
             for r in range(R):
                 # extrinsic t = va - u for each addend of this layer,
                 # with the reference's self-correction (zero on sign flip)
                 ts = []
                 for a, perm in enumerate(s.rows[r]):
+                    e = row_off[r] + a
                     g = perm_rows(va[perm.col], perm)
-                    t = g - us[r][a]
+                    t = g - us[e]
                     if self_corrected:
-                        tp = tps[r][a]
+                        tp = tps[e]
                         keep = jnp.logical_or((t < 0) == (tp < 0), tp == 0)
                         t = jnp.where(keep, t, jnp.zeros((), dtype))
                     ts.append(t)
@@ -273,19 +284,18 @@ def make_ms_decoder_layered(
                     m1 = jnp.minimum(m1, a1)
                     sg_cnt = sg_cnt + (t < 0).astype(jnp.int32)
                 sg = (sg_cnt & 1).astype(bool)
-                u_new = []
                 for a, perm in enumerate(s.rows[r]):
+                    e = row_off[r] + a
                     t = ts[a]
                     mag = jnp.where(jnp.abs(t) == m1, m2, m1)
                     if alpha_c is not None:
                         mag = alpha_c * mag
                     neg = jnp.logical_xor(sg, t < 0)
                     u = jnp.where(neg, -mag, mag)
-                    u_new.append(u)
                     # va <- t + u_new, i.e. va += perm_inv(u_new - u_old)
-                    va = va.at[perm.col].add(perm_rows(u - us[r][a], perm, inverse=True))
-                new_us.append(jnp.stack(u_new, axis=0))
-                new_tps.append(jnp.stack(ts, axis=0))
+                    va = va.at[perm.col].add(perm_rows(u - us[e], perm, inverse=True))
+                    new_us[e] = u
+                    new_tps[e] = t
 
             # end-of-iteration syndrome over the FINAL posteriors: per-layer
             # parities taken mid-sweep are stale (later layers may flip bits
@@ -311,9 +321,10 @@ def make_ms_decoder_layered(
             _, _, _, done, _iters, _bits, it = state
             return jnp.logical_and(it < maxiters, jnp.logical_not(done.all()))
 
+        sumA = sum(len(row) for row in s.rows)
         state = (
-            tuple(jnp.zeros((len(s.rows[r]), M, B), dtype) for r in range(R)),
-            tuple(jnp.zeros((len(s.rows[r]), M, B), dtype) for r in range(R)),
+            tuple(jnp.zeros((M, B), dtype) for _ in range(sumA)),
+            tuple(jnp.zeros((M, B), dtype) for _ in range(sumA)),
             llr_blocks,
             jnp.zeros((B,), bool),
             jnp.full((B,), maxiters, jnp.int32),
@@ -369,18 +380,24 @@ def make_ms_decoder_qc_i8(
             neg = jnp.logical_xor(sg, v < 0)
             return jnp.where(neg, -mag, mag)
 
+        row_off = [0]
+        for row in s.rows:
+            row_off.append(row_off[-1] + len(row))
+
         def body_fn(state):
             vs, min1, min2, sgn, done, iters, state_bits, it = state
-            # vs int8 storage -> int32 compute
-            vs32 = [vs[r].astype(jnp.int32) for r in range(R)]
+            # vs: FLAT tuple of sumA int8 (M, B) blocks (stacked carries
+            # cost a slice+restack copy per iteration); int32 compute
 
             # sweep 1: marginals with per-step saturation (decoder.rs:46-48)
             va = [llr_blocks[c] for c in range(Cc)]
             for r in range(R):
-                u = u_from(vs32[r], min1[r][None].astype(jnp.int32),
-                           min2[r][None].astype(jnp.int32), sgn[r][None])
+                m1o = min1[r].astype(jnp.int32)
+                m2o = min2[r].astype(jnp.int32)
                 for a, perm in enumerate(s.rows[r]):
-                    va[perm.col] = sat(va[perm.col] + perm_rows(u[a], perm, inverse=True))
+                    e = row_off[r] + a
+                    u = u_from(vs[e].astype(jnp.int32), m1o, m2o, sgn[r])
+                    va[perm.col] = sat(va[perm.col] + perm_rows(u, perm, inverse=True))
 
             # sweep 2: self-corrected v; streamed stats; parity
             new_vs, new_min1, new_min2, new_sgn = [], [], [], []
@@ -392,9 +409,9 @@ def make_ms_decoder_qc_i8(
                 m2 = m1
                 sg_cnt = jnp.zeros((M, B), jnp.int32)
                 par = jnp.zeros((M, B), jnp.int32)
-                nv_blocks = []
                 for a, perm in enumerate(s.rows[r]):
-                    v_old = vs32[r][a]
+                    e = row_off[r] + a
+                    v_old = vs[e].astype(jnp.int32)
                     u = u_from(v_old, m1o, m2o, sgn[r])
                     g = perm_rows(va[perm.col], perm)
                     nv = sat(g - u)
@@ -406,9 +423,8 @@ def make_ms_decoder_qc_i8(
                     m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a1))
                     m1 = jnp.minimum(m1, a1)
                     sg_cnt = sg_cnt + (nv < 0).astype(jnp.int32)
-                    nv_blocks.append(nv)
+                    new_vs.append(nv.astype(jnp.int8))
                 ok = jnp.logical_and(ok, ((par & 1) == 0).all(axis=0))
-                new_vs.append(jnp.stack(nv_blocks, axis=0).astype(jnp.int8))
                 new_min1.append(m1.astype(jnp.int8))
                 new_min2.append(m2.astype(jnp.int8))
                 new_sgn.append((sg_cnt & 1).astype(bool))
@@ -428,7 +444,8 @@ def make_ms_decoder_qc_i8(
             *_, done, _iters, _bits, it = state
             return jnp.logical_and(it < maxiters, jnp.logical_not(done.all()))
 
-        z8 = tuple(jnp.zeros((len(s.rows[r]), M, B), jnp.int8) for r in range(R))
+        sumA = sum(len(row) for row in s.rows)
+        z8 = tuple(jnp.zeros((M, B), jnp.int8) for _ in range(sumA))
         zmb = tuple(jnp.zeros((M, B), jnp.int8) for _ in range(R))
         state = (
             z8, zmb, zmb,

@@ -192,3 +192,18 @@ def test_qc_i8_saturation_does_not_break_convergence():
     res = make_ms_decoder_qc_i8(code, maxiters=50)(llrs)
     assert bool(np.asarray(res.success).all())
     np.testing.assert_array_equal(np.asarray(res.bits)[:, : code.n], cw)
+
+
+def test_qc_bf16_decodes():
+    """bfloat16 QC path recovers the reference scenario."""
+    code = get_code("TM2048")
+    B = 8
+    rng = np.random.default_rng(33)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    rx = cw.copy()
+    rx[:, [0, 3, 5]] ^= 1
+    llrs = hard_to_llrs(pack_bits(jnp.asarray(rx)), jnp.bfloat16)
+    res = make_ms_decoder_qc(code, jnp.bfloat16, maxiters=50)(llrs)
+    assert bool(np.asarray(res.success).all())
+    np.testing.assert_array_equal(np.asarray(res.bits)[:, : code.n], cw)
