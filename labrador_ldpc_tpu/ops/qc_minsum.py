@@ -93,11 +93,14 @@ def make_ms_decoder_qc(
         llrs = jnp.asarray(llrs, dtype=dtype)
         assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
         B = llrs.shape[0]
-        # (Cc, M, B) node-major blocks; punctured tail = 0 (decoder.rs:382-383)
-        llr_blocks = jnp.concatenate(
-            [llrs.T.reshape(n_blocks, M, B), jnp.zeros((Cc - n_blocks, M, B), dtype)],
-            axis=0,
-        )
+        # flat tuple of (M, B) node-major blocks; punctured tail = 0
+        # (decoder.rs:382-383). Kept unstacked so the loop body never slices
+        # a stacked array.
+        llr_t = llrs.T
+        zero_blk = jnp.zeros((M, B), dtype)
+        llr_blocks = [llr_t[c * M : (c + 1) * M] for c in range(n_blocks)] + [
+            zero_blk for _ in range(Cc - n_blocks)
+        ]
 
         big = float(jnp.finfo(dtype).max)
 
@@ -161,10 +164,18 @@ def make_ms_decoder_qc(
                 new_sgn.append((sg_cnt & 1).astype(bool))
 
             # freeze hard decisions at each codeword's convergence iteration,
-            # bit-PACKED (V/8 bytes per lane): 32x cheaper to carry through
-            # the while_loop than f32 marginals
-            hard = (jnp.stack(va, axis=0) < 0).reshape(Cc * M // 8, 8, B)
-            packed = (hard.astype(jnp.uint8) * _MSB_W).sum(axis=1).astype(jnp.uint8)
+            # bit-PACKED (V/8 bytes per lane) and packed PER BLOCK — a
+            # jnp.stack(va) here would copy the whole marginal set every
+            # iteration just to feed the reshape
+            packed = jnp.concatenate(
+                [
+                    ((va[c] < 0).reshape(M // 8, 8, B).astype(jnp.uint8) * _MSB_W)
+                    .sum(axis=1)
+                    .astype(jnp.uint8)
+                    for c in range(Cc)
+                ],
+                axis=0,
+            )
             newly_done = jnp.logical_and(ok, jnp.logical_not(done))
             bits_out = jnp.where(done[None, :], state_bits, packed)
             iters = jnp.where(newly_done, it, iters)
@@ -369,10 +380,11 @@ def make_ms_decoder_qc_i8(
         llrs = jnp.asarray(llrs, jnp.int8)
         assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
         B = llrs.shape[0]
-        llr_blocks = jnp.concatenate(
-            [llrs.T.reshape(n_blocks, M, B), jnp.zeros((Cc - n_blocks, M, B), jnp.int8)],
-            axis=0,
-        ).astype(jnp.int32)
+        llr_t = llrs.T.astype(jnp.int32)
+        zero_blk = jnp.zeros((M, B), jnp.int32)
+        llr_blocks = [llr_t[c * M : (c + 1) * M] for c in range(n_blocks)] + [
+            zero_blk for _ in range(Cc - n_blocks)
+        ]
 
         def u_from(v, m1, m2, sg):
             """v/m1/m2: int32 (values within int8 range); sg: bool."""
@@ -429,8 +441,15 @@ def make_ms_decoder_qc_i8(
                 new_min2.append(m2.astype(jnp.int8))
                 new_sgn.append((sg_cnt & 1).astype(bool))
 
-            hard = (jnp.stack(va, axis=0) < 0).reshape(Cc * M // 8, 8, B)
-            packed = (hard.astype(jnp.uint8) * _MSB_W).sum(axis=1).astype(jnp.uint8)
+            packed = jnp.concatenate(
+                [
+                    ((va[c] < 0).reshape(M // 8, 8, B).astype(jnp.uint8) * _MSB_W)
+                    .sum(axis=1)
+                    .astype(jnp.uint8)
+                    for c in range(Cc)
+                ],
+                axis=0,
+            )
             newly_done = jnp.logical_and(ok, jnp.logical_not(done))
             bits_out = jnp.where(done[None, :], state_bits, packed)
             iters = jnp.where(newly_done, it, iters)
