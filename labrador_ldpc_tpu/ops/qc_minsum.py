@@ -253,9 +253,10 @@ def make_ms_decoder_layered(
         llrs = jnp.asarray(llrs, dtype=dtype)
         assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
         B = llrs.shape[0]
-        llr_blocks = jnp.concatenate(
-            [llrs.T.reshape(n_blocks, M, B), jnp.zeros((Cc - n_blocks, M, B), dtype)],
-            axis=0,
+        llr_t = llrs.T
+        zero_blk = jnp.zeros((M, B), dtype)
+        llr_blocks = tuple(llr_t[c * M : (c + 1) * M] for c in range(n_blocks)) + tuple(
+            zero_blk for _ in range(Cc - n_blocks)
         )
         big = float(jnp.finfo(dtype).max)
 
@@ -268,7 +269,8 @@ def make_ms_decoder_layered(
             # us: FLAT tuple of sumA (M, B) check->var messages (stacked
             # carries cost a slice+restack copy per iteration);
             # tps: previous (self-corrected) extrinsics, same layout;
-            # va: (Cc, M, B) posteriors (updated layer by layer).
+            # va: flat tuple of Cc (M, B) posteriors (updated layer by layer).
+            va = list(va)
             new_us = list(us)
             new_tps = list(tps)
             for r in range(R):
@@ -304,7 +306,7 @@ def make_ms_decoder_layered(
                     neg = jnp.logical_xor(sg, t < 0)
                     u = jnp.where(neg, -mag, mag)
                     # va <- t + u_new, i.e. va += perm_inv(u_new - u_old)
-                    va = va.at[perm.col].add(perm_rows(u - us[e], perm, inverse=True))
+                    va[perm.col] = va[perm.col] + perm_rows(u - us[e], perm, inverse=True)
                     new_us[e] = u
                     new_tps[e] = t
 
@@ -320,13 +322,20 @@ def make_ms_decoder_layered(
                     par = par ^ perm_rows(signs[perm.col], perm)
                 ok = jnp.logical_and(ok, (par == 0).all(axis=0))
 
-            hard = (va < 0).reshape(Cc * M // 8, 8, B)
-            packed = (hard.astype(jnp.uint8) * _MSB_W).sum(axis=1).astype(jnp.uint8)
+            packed = jnp.concatenate(
+                [
+                    ((va[c] < 0).reshape(M // 8, 8, B).astype(jnp.uint8) * _MSB_W)
+                    .sum(axis=1)
+                    .astype(jnp.uint8)
+                    for c in range(Cc)
+                ],
+                axis=0,
+            )
             newly_done = jnp.logical_and(ok, jnp.logical_not(done))
             bits_out = jnp.where(done[None, :], state_bits, packed)
             iters = jnp.where(newly_done, it, iters)
             done = jnp.logical_or(done, ok)
-            return tuple(new_us), tuple(new_tps), va, done, iters, bits_out, it + 1
+            return tuple(new_us), tuple(new_tps), tuple(va), done, iters, bits_out, it + 1
 
         def cond_fn(state):
             _, _, _, done, _iters, _bits, it = state
