@@ -234,10 +234,12 @@ def make_bf_decoder_qc(code: LDPCCode | str, maxiters: int = 20):
         else:
             bits0 = bits_full.astype(jnp.uint8).T
             erasure_iters = jnp.zeros((B,), jnp.int32)
-        bits0 = bits0.reshape(Cc, M, B)
+        # flat tuple of (M, B) planes: stacked loop carries cost a slice +
+        # restack copy of the whole state every iteration (see qc_minsum)
+        bits_blocks = tuple(bits0[c * M : (c + 1) * M] for c in range(Cc))
 
         def body_fn(state):
-            bits, done, iters, it = state  # bits: (Cc, M, B) uint8
+            bits, done, iters, it = state  # bits: flat tuple of (M, B) uint8
             # check parities per block row: XOR of permuted bit planes
             pars = []
             for r in range(R):
@@ -251,12 +253,16 @@ def make_bf_decoder_qc(code: LDPCCode | str, maxiters: int = 20):
                 par_i = pars[r].astype(jnp.int32)
                 for perm in s.rows[r]:
                     viol[perm.col] = viol[perm.col] + perm_rows(par_i, perm, inverse=True)
-            viol_stack = jnp.stack(viol, axis=0)  # (Cc, M, B)
-            mx = viol_stack.max(axis=(0, 1))  # (B,)
+            mx = viol[0].max(axis=0)
+            for c in range(1, Cc):
+                mx = jnp.maximum(mx, viol[c].max(axis=0))  # (B,)
             check_ok = mx == 0
-            flip = jnp.logical_and(viol_stack == mx[None, None, :], mx[None, None, :] > 0)
-            live = jnp.logical_not(done)[None, None, :]
-            new_bits = jnp.where(jnp.logical_and(flip, live), bits ^ 1, bits)
+            live_flip = jnp.logical_and(mx > 0, jnp.logical_not(done))[None, :]
+            new_bits = tuple(
+                jnp.where(jnp.logical_and(viol[c] == mx[None, :], live_flip),
+                          bits[c] ^ 1, bits[c])
+                for c in range(Cc)
+            )
             newly = jnp.logical_and(check_ok, jnp.logical_not(done))
             iters = jnp.where(newly, it, iters)
             done = jnp.logical_or(done, check_ok)
@@ -267,7 +273,7 @@ def make_bf_decoder_qc(code: LDPCCode | str, maxiters: int = 20):
             return jnp.logical_and(it < maxiters, jnp.logical_not(done.all()))
 
         state = (
-            bits0,
+            bits_blocks,
             jnp.zeros((B,), bool),
             jnp.full((B,), maxiters, jnp.int32),
             jnp.zeros((), jnp.int32),
@@ -276,7 +282,7 @@ def make_bf_decoder_qc(code: LDPCCode | str, maxiters: int = 20):
         return BFResult(
             success=done,
             iterations=iters + erasure_iters,
-            bits=bits.reshape(Cc * M, B).T,
+            bits=jnp.concatenate(bits, axis=0).T,
         )
 
     return jax.jit(decode)
