@@ -84,7 +84,7 @@ def bench_all(codes, impls, batch, reps, results):
         cw_j = jax.device_put(jnp.asarray(cw))
 
         # --- decode_bf (benches/decode.rs:22-37) ---------------------------
-        bf = bitflip.make_bf_decoder(code, maxiters=50)
+        bf = bitflip.make_bf_decoder_qc(code, maxiters=50)
         bits = unpack_bits(cw_j)
         jax.block_until_ready(bf(bits))
         t = _timeit(lambda: jax.block_until_ready(bf(bits)), reps)
@@ -166,7 +166,7 @@ def main() -> int:
         codes = [c.value for c in ALL_CODES]
 
     impls = [("ref", "float32"), ("qc", "float32"), ("qc", "bfloat16"),
-             ("layered", "bfloat16"), ("ref", "int8")]
+             ("layered", "bfloat16"), ("qc_i8", "int8"), ("ref", "int8")]
     if args.with_pallas:
         impls.append(("pallas", "bfloat16"))
 

@@ -42,11 +42,17 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
         from ..ops.qc_minsum import make_ms_decoder_layered
 
         return make_ms_decoder_layered(code, dtype, maxiters, alpha)
+    if impl == "qc_i8":
+        from ..ops.qc_minsum import make_ms_decoder_qc_i8
+
+        if alpha is not None:
+            raise ValueError("qc_i8 does not support alpha")
+        return make_ms_decoder_qc_i8(code, maxiters)
     if impl == "pallas":
         from ..ops.pallas_minsum import make_ms_decoder_pallas
 
         return make_ms_decoder_pallas(code, dtype, maxiters, alpha)
-    raise ValueError(f"unknown decoder impl {impl!r} (ref|qc|pallas)")
+    raise ValueError(f"unknown decoder impl {impl!r} (ref|qc|layered|qc_i8|pallas)")
 
 __all__ = ["ChannelStats", "make_trial_step", "make_two_stage_decoder", "noise_sigma"]
 
