@@ -30,7 +30,12 @@ from .codes.expand import (
 from .ops.convert import hard_to_llrs, llrs_to_hard, pack_bits, unpack_bits
 from .ops.encoder import encode, encode_bits, make_encoder
 from .ops.minsum import MSResult, decode_ms, make_ms_decoder
-from .ops.qc_minsum import make_ms_decoder_layered, make_ms_decoder_qc, make_ms_decoder_qc_i8
+from .ops.qc_minsum import (
+    make_ms_decoder_layered,
+    make_ms_decoder_qc,
+    make_ms_decoder_qc_i8,
+    make_ms_decoder_qc_int,
+)
 from .ops.pallas_minsum import make_ms_decoder_pallas
 from .ops.bitflip import BFResult, decode_bf, decode_erasures_bits, make_bf_decoder, make_bf_decoder_qc
 
@@ -40,7 +45,8 @@ __all__ = [
     "LDPCCode", "CodeParams", "get_code", "ALL_CODES", "TC_CODES", "TM_CODES",
     "parity_edges", "parity_check_matrix", "generator_parity_matrix", "decoder_tables",
     "encode", "encode_bits", "make_encoder",
-    "decode_ms", "make_ms_decoder", "make_ms_decoder_qc", "make_ms_decoder_qc_i8", "make_ms_decoder_layered", "make_ms_decoder_pallas", "MSResult",
+    "decode_ms", "make_ms_decoder", "make_ms_decoder_qc", "make_ms_decoder_qc_i8",
+    "make_ms_decoder_qc_int", "make_ms_decoder_layered", "make_ms_decoder_pallas", "MSResult",
     "decode_bf", "make_bf_decoder", "make_bf_decoder_qc", "BFResult", "decode_erasures_bits",
     "hard_to_llrs", "llrs_to_hard", "pack_bits", "unpack_bits",
     "__version__",

@@ -18,6 +18,18 @@ import sys
 def _cmd_waterfall(args) -> int:
     from .channel.waterfall import waterfall
 
+    # validate dtype/impl compatibility up front with a clear CLI error
+    # (the decoder factories raise too, but argparse errors are friendlier)
+    int_dtypes = {"int8", "int16"}
+    if args.impl in ("layered", "pallas") and args.dtype in int_dtypes:
+        raise SystemExit(f"error: --impl {args.impl} supports float dtypes only")
+    if args.impl == "qc_i8" and args.dtype != "int8":
+        raise SystemExit("error: --impl qc_i8 requires --dtype int8")
+    if args.impl == "qc_i16" and args.dtype != "int16":
+        raise SystemExit("error: --impl qc_i16 requires --dtype int16")
+    if args.dtype == "int32" and args.impl != "ref":
+        raise SystemExit("error: --dtype int32 requires --impl ref")
+
     if args.snrs:
         snrs = [float(s) for s in args.snrs.split(",")]
     else:
@@ -34,6 +46,7 @@ def _cmd_waterfall(args) -> int:
         dtype_name=args.dtype,
         alpha=args.alpha,
         impl=args.impl,
+        llr_scale=args.llr_scale,
         seed=args.seed,
         csv_out=sys.stdout,
         verbose=args.verbose,
@@ -69,9 +82,13 @@ def main(argv=None) -> int:
     w.add_argument("--max-bits", type=int, default=50_000_000)
     w.add_argument("--max-bit-errors", type=int, default=5_000)
     w.add_argument("--noise-model", choices=["perftest", "ebn0"], default="perftest")
-    w.add_argument("--dtype", default="float32", help="float32|bfloat16|int8|int16")
+    w.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16", "float64", "int8", "int16", "int32"])
     w.add_argument("--alpha", type=float, default=None, help="normalized min-sum factor")
-    w.add_argument("--impl", choices=["ref", "qc", "layered", "pallas"], default="qc")
+    w.add_argument("--impl", choices=["ref", "qc", "layered", "qc_i8", "qc_i16", "pallas"],
+                   default="qc", help="int dtypes with 'qc' route to the saturating QC int path")
+    w.add_argument("--llr-scale", type=float, default=None,
+                   help="int-LLR quantizer scale (default: 16 for int8, 256 for int16)")
     w.add_argument("--seed", type=int, default=0)
     w.add_argument("--verbose", action="store_true")
     w.set_defaults(fn=_cmd_waterfall)

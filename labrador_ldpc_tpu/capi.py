@@ -76,6 +76,34 @@ def _load() -> ctypes.CDLL:
         fn = getattr(l, f"labrador_ldpc_{name}")
         fn.restype = ctypes.c_size_t
         fn.argtypes = [ctypes.c_int]
+
+    # Full restype/argtypes for every entry point: the decoders return C++
+    # bool and take size_t/pointer args, so relying on ctypes' c_int
+    # defaults is ABI-fragile (and loses type checking) off x86-64 g++.
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    szp = ctypes.POINTER(ctypes.c_size_t)
+    l.labrador_ldpc_encode.restype = None
+    l.labrador_ldpc_encode.argtypes = [ctypes.c_int, u8p]
+    l.labrador_ldpc_copy_encode.restype = None
+    l.labrador_ldpc_copy_encode.argtypes = [ctypes.c_int, u8p, u8p]
+    l.labrador_ldpc_decode_bf.restype = ctypes.c_bool
+    l.labrador_ldpc_decode_bf.argtypes = [
+        ctypes.c_int, u8p, u8p, u8p, ctypes.c_size_t, szp,
+    ]
+    for suffix, ctype in (
+        ("i8", ctypes.c_int8), ("i16", ctypes.c_int16),
+        ("f32", ctypes.c_float), ("f64", ctypes.c_double),
+    ):
+        tp = ctypes.POINTER(ctype)
+        ms = getattr(l, f"labrador_ldpc_decode_ms_{suffix}")
+        ms.restype = ctypes.c_bool
+        ms.argtypes = [ctypes.c_int, tp, u8p, tp, u8p, ctypes.c_size_t, szp]
+        h2l = getattr(l, f"labrador_ldpc_hard_to_llrs_{suffix}")
+        h2l.restype = None
+        h2l.argtypes = [ctypes.c_int, u8p, tp]
+        l2h = getattr(l, f"labrador_ldpc_llrs_to_hard_{suffix}")
+        l2h.restype = None
+        l2h.argtypes = [ctypes.c_int, tp, u8p]
     return l
 
 

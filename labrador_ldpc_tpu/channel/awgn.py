@@ -28,33 +28,65 @@ from ..ops.encoder import encode_bits
 from ..ops.minsum import make_ms_decoder
 
 
+_INT_DTYPES = ("int8", "int16")
+
+
 def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     """Select the min-sum implementation: "ref" (reference-order XLA),
-    "qc" (roll-based XLA), "layered" (row-layered schedule), or "pallas"
-    (experimental fused kernel)."""
+    "qc" (roll-based XLA; int dtypes route to the saturating QC int path),
+    "layered" (row-layered schedule), "qc_i8"/"qc_i16" (explicit saturating
+    QC int paths), or "pallas" (experimental fused kernel).
+
+    Raises ValueError with an explicit message on unsupported dtype/impl
+    combinations instead of failing deep inside the decoder builders.
+    """
+    dtype = jnp.dtype(dtype)
+    is_int = dtype.name in ("int8", "int16", "int32")
     if impl == "ref":
         return make_ms_decoder(code, dtype, maxiters, alpha)
-    if impl == "qc":
+    if impl in ("qc", "qc_i8", "qc_i16"):
+        if impl == "qc_i8" and dtype.name != "int8":
+            raise ValueError(f"impl 'qc_i8' requires dtype int8, got {dtype.name}")
+        if impl == "qc_i16" and dtype.name != "int16":
+            raise ValueError(f"impl 'qc_i16' requires dtype int16, got {dtype.name}")
+        if is_int:
+            if dtype.name == "int32":
+                raise ValueError(
+                    "QC int path supports int8/int16; use impl='ref' for int32"
+                )
+            if alpha is not None:
+                raise ValueError("the saturating QC int path does not support alpha")
+            from ..ops.qc_minsum import make_ms_decoder_qc_int
+
+            return make_ms_decoder_qc_int(code, dtype, maxiters)
+        if impl != "qc":
+            raise ValueError(f"impl {impl!r} requires an int dtype, got {dtype.name}")
         from ..ops.qc_minsum import make_ms_decoder_qc
 
         return make_ms_decoder_qc(code, dtype, maxiters, alpha)
     if impl == "layered":
+        if is_int:
+            raise ValueError("layered decoder supports float dtypes; use impl='qc'")
         from ..ops.qc_minsum import make_ms_decoder_layered
 
         return make_ms_decoder_layered(code, dtype, maxiters, alpha)
-    if impl == "qc_i8":
-        from ..ops.qc_minsum import make_ms_decoder_qc_i8
-
-        if alpha is not None:
-            raise ValueError("qc_i8 does not support alpha")
-        return make_ms_decoder_qc_i8(code, maxiters)
     if impl == "pallas":
         from ..ops.pallas_minsum import make_ms_decoder_pallas
 
         return make_ms_decoder_pallas(code, dtype, maxiters, alpha)
-    raise ValueError(f"unknown decoder impl {impl!r} (ref|qc|layered|qc_i8|pallas)")
+    raise ValueError(
+        f"unknown decoder impl {impl!r} (ref|qc|layered|qc_i8|qc_i16|pallas)"
+    )
 
-__all__ = ["ChannelStats", "make_trial_step", "make_two_stage_decoder", "noise_sigma"]
+
+__all__ = [
+    "ChannelStats",
+    "default_llr_scale",
+    "make_trial_step",
+    "make_two_stage_decoder",
+    "noise_sigma",
+    "quantize_llrs",
+]
 
 
 class ChannelStats(NamedTuple):
@@ -76,6 +108,40 @@ def noise_sigma(snr_db: float, code: LDPCCode | None = None, model: str = "perft
     raise ValueError(f"unknown noise model {model!r}")
 
 
+def default_llr_scale(dtype) -> float:
+    """Default quantizer scale for integer LLR dtypes.
+
+    The ±1-signal channel LLRs are multiplied by this before round+clip.
+    16 for int8 puts the signal at ±16 with ~1/16-signal resolution and
+    ~±127/16 ≈ 8-sigma clipping headroom at waterfall-region noise levels
+    (sigma ≈ 0.6–0.9); 256 for int16 scales the same shape up. Min-sum is
+    scale-invariant (decoder.rs:332-335), so only quantization/clipping
+    noise — not the scale itself — affects BER.
+    """
+    d = jnp.dtype(dtype)
+    if d == jnp.dtype(jnp.int8):
+        return 16.0
+    if d == jnp.dtype(jnp.int16):
+        return 256.0
+    raise ValueError(f"no default LLR scale for dtype {d.name}")
+
+
+def quantize_llrs(llrs: jnp.ndarray, dtype, scale: float | None = None) -> jnp.ndarray:
+    """Quantize float channel LLRs to an integer dtype: clip(round(llr*scale)).
+
+    The reference treats integer LLRs as first-class decode inputs
+    (decoder.rs:42-55, saturating DecodeFrom); this is the channel-side
+    quantizer that makes int decoding meaningful on soft AWGN outputs —
+    a bare astype() would truncate ±1±noise to {-1, 0, 1} and destroy most
+    of the soft information.
+    """
+    d = jnp.dtype(dtype)
+    if scale is None:
+        scale = default_llr_scale(d)
+    info = jnp.iinfo(d)
+    return jnp.clip(jnp.round(llrs * scale), info.min, info.max).astype(d)
+
+
 @lru_cache(maxsize=None)
 def make_trial_step(
     code: LDPCCode | str,
@@ -84,30 +150,52 @@ def make_trial_step(
     dtype_name: str = "float32",
     alpha: float | None = None,
     impl: str = "qc",
+    llr_scale: float | None = None,
+    mesh=None,
 ):
     """Build a jitted end-to-end trial step.
 
     Returns fn(key, sigma) -> ChannelStats running `batch` codewords:
     random data -> encode -> BPSK +-1 -> AWGN(sigma) -> min-sum -> counters.
-    The whole pipeline is one XLA program; under a sharded batch axis the
-    final counter sums become psums over the mesh.
+    Integer dtypes are quantized with `quantize_llrs` (scale `llr_scale`,
+    default `default_llr_scale(dtype)`); float dtypes keep the reference's
+    unscaled-LLR convention.
+
+    With `mesh` (a 1-D 'batch' jax.sharding.Mesh), `batch` is the GLOBAL
+    batch: the whole pipeline is sharded P('batch') across the mesh and the
+    returned scalar counters compile to psums — the TPU-native successor of
+    the perftest's AtomicU64 merge (perftest/src/main.rs:42-49). Requires
+    the partitionable threefry PRNG (JAX default) so random generation
+    shards without cross-device traffic.
     """
     code = get_code(code)
     p = code.params
     dtype = jnp.dtype(dtype_name)
+    is_int = dtype.name in _INT_DTYPES
     decoder = _make_decoder(code, dtype, maxiters, alpha, impl)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert batch % mesh.devices.size == 0, (batch, mesh.devices.size)
+        data_s = NamedSharding(mesh, P("batch", None))
 
     def step(key: jax.Array, sigma: jnp.ndarray) -> ChannelStats:
         kd, kn = jax.random.split(key)
         data_bits = jax.random.bernoulli(kd, 0.5, (batch, p.k)).astype(jnp.uint8)
+        if mesh is not None:
+            data_bits = jax.lax.with_sharding_constraint(data_bits, data_s)
         cw_bits = encode_bits(code, data_bits)  # (B, n)
         # bit 1 -> -1, bit 0 -> +1 (hard_to_llrs convention, decoder.rs:488-492)
         tx = 1.0 - 2.0 * cw_bits.astype(jnp.float32)
         noise = jax.random.normal(kn, tx.shape, jnp.float32) * sigma
-        llrs = (tx + noise).astype(dtype)
+        soft = tx + noise
+        llrs = quantize_llrs(soft, dtype, llr_scale) if is_int else soft.astype(dtype)
+        if mesh is not None:
+            llrs = jax.lax.with_sharding_constraint(llrs, data_s)
         res = decoder(llrs)
         data_hat = res.bits[:, : p.k]
         bit_err = (data_hat != data_bits).sum(dtype=jnp.int32, axis=1)  # (B,)
+        # scalar reductions over a sharded batch axis compile to psums
         return ChannelStats(
             trials=jnp.asarray(batch, jnp.int32),
             bit_errors=bit_err.sum(dtype=jnp.int32),
@@ -162,7 +250,14 @@ def make_two_stage_decoder(
         iters = np.asarray(res.iterations).copy()
         bits[bad] = np.asarray(r2.bits)[: len(bad)]
         succ[bad] = np.asarray(r2.success)[: len(bad)]
-        iters[bad] = maxiters_fast + np.asarray(r2.iterations)[: len(bad)]
+        # combined 0-based convergence iteration = fast-pass iterations
+        # actually consumed (== res.iterations for failed frames: the
+        # while_loop only stops early when EVERY frame converged, so a
+        # failed frame always reports maxiters_fast — but read it from the
+        # result rather than assuming, keeping the reference's
+        # decoder.rs:347-351 "(success, iters)" contract exact) plus the
+        # rescue pass's 0-based convergence iteration.
+        iters[bad] = iters[bad] + np.asarray(r2.iterations)[: len(bad)]
         from ..ops.minsum import MSResult
 
         return MSResult(

@@ -63,6 +63,7 @@ def waterfall(
     dtype_name: str = "float32",
     alpha: float | None = None,
     impl: str = "qc",
+    llr_scale: float | None = None,
     mesh=None,
     seed: int = 0,
     csv_out=None,
@@ -73,22 +74,19 @@ def waterfall(
     Stopping rules per point mirror the reference: stop when `max_bits` data
     bits have been simulated or `max_bit_errors` bit errors observed.
 
+    Integer dtypes quantize the channel LLRs with awgn.quantize_llrs
+    (`llr_scale`, default awgn.default_llr_scale(dtype)).
+
     With `mesh` (a 1-D 'batch' Mesh, e.g. parallel.make_batch_mesh()), the
     whole trial pipeline is sharded P('batch') across the mesh and the
     counters come back as psums — the multi-chip path. `batch` is then the
-    GLOBAL batch and must divide by the mesh size.
+    GLOBAL batch and must divide by the mesh size. All impl/dtype/alpha
+    combinations behave identically sharded and unsharded (one shared
+    trial-step definition).
     """
     code = get_code(code)
     k = code.k
-    if mesh is not None:
-        from ..parallel.mesh import make_sharded_trial_step
-
-        step = make_sharded_trial_step(
-            code, global_batch=batch, mesh=mesh, maxiters=maxiters,
-            dtype=dtype_name, alpha=alpha,
-        )
-    else:
-        step = make_trial_step(code, batch, maxiters, dtype_name, alpha, impl)
+    step = make_trial_step(code, batch, maxiters, dtype_name, alpha, impl, llr_scale, mesh)
     key = jax.random.PRNGKey(seed)
     results = []
     for snr in snrs_db:

@@ -141,6 +141,19 @@ def make_ms_decoder(
     dtype = jnp.dtype(dtype)
     if alpha is not None and _is_int(dtype):
         raise ValueError("normalized min-sum (alpha) requires a float dtype")
+    if dtype == jnp.dtype(jnp.int32) and not jax.config.jax_enable_x64:
+        # The float32 fallback accumulator is exact only for |LLR| < 2^24;
+        # the reference's i32 DecodeFrom (decoder.rs:60-68) is exact over the
+        # full range. Warn rather than fail: 2^24 is far beyond any sane LLR
+        # scaling, but the bit-exactness contract needs the caveat on record.
+        import warnings
+
+        warnings.warn(
+            "int32 min-sum without jax_enable_x64 accumulates in float32: "
+            "saturating arithmetic is exact only for |LLR| < 2^24 "
+            "(enable x64 for full-range int32 parity)",
+            stacklevel=2,
+        )
     tabs = _device_tables(code)
     t = tabs["meta"]
     Cn, Vn, dc, dv = t.n_checks, t.n_vars, t.dc_max, t.dv_max

@@ -41,7 +41,13 @@ from .minsum import MSResult
 # MSB-first packing weights for the in-loop bit freeze
 _MSB_W = np.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=np.uint8)[None, :, None]
 
-__all__ = ["make_ms_decoder_qc", "make_ms_decoder_layered", "make_ms_decoder_qc_i8", "perm_rows"]
+__all__ = [
+    "make_ms_decoder_qc",
+    "make_ms_decoder_layered",
+    "make_ms_decoder_qc_i8",
+    "make_ms_decoder_qc_int",
+    "perm_rows",
+]
 
 
 def perm_rows(x: jnp.ndarray, perm: BlockPerm, inverse: bool = False) -> jnp.ndarray:
@@ -362,31 +368,44 @@ def make_ms_decoder_qc_i8(
     code: LDPCCode | str,
     maxiters: int = 20,
 ):
-    """QC roll-based self-corrected min-sum with int8 messages.
+    """Backward-compatible alias for make_ms_decoder_qc_int(code, int8)."""
+    return make_ms_decoder_qc_int(code, jnp.int8, maxiters)
 
-    The fast low-precision mode: message/marginal storage is int8 (4x less
-    roll traffic than f32), arithmetic is saturating via int32 intermediates
-    — the same saturation semantics as the reference's i8 `DecodeFrom`
-    (decoder.rs:42-55: clamp to [-128, 127] at every add/sub, |x| clamped to
-    127), though accumulation ORDER follows the QC block order rather than
-    the reference's edge order, so results are validated statistically and
-    on decode outcomes (ops/minsum.py keeps the bit-exact i8 path).
 
-    Returns fn(llrs: (B, n) int8) -> MSResult.
+def make_ms_decoder_qc_int(
+    code: LDPCCode | str,
+    dtype=jnp.int8,
+    maxiters: int = 20,
+):
+    """QC roll-based self-corrected min-sum with int8/int16 messages.
+
+    The fast low-precision mode: message/marginal storage is int8 or int16
+    (4x / 2x less roll traffic than f32), arithmetic is saturating via
+    int32 intermediates — the same saturation semantics as the reference's
+    i8/i16 `DecodeFrom` (decoder.rs:42-55: clamp to the dtype range at
+    every add/sub, |x| clamped to the max), though accumulation ORDER
+    follows the QC block order rather than the reference's edge order, so
+    results are validated statistically and on decode outcomes
+    (ops/minsum.py keeps the bit-exact int paths).
+
+    Returns fn(llrs: (B, n) dtype) -> MSResult.
     """
     code = get_code(code)
     p = code.params
+    dtype = jnp.dtype(dtype)
+    if dtype not in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16)):
+        raise ValueError(f"QC int decoder supports int8/int16, got {dtype.name}")
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     n = p.n
     n_blocks = n // M
-    LO, HI = -128, 127
+    LO, HI = int(jnp.iinfo(dtype).min), int(jnp.iinfo(dtype).max)
 
     def sat(x32):
         return jnp.clip(x32, LO, HI)
 
     def decode(llrs: jnp.ndarray) -> MSResult:
-        llrs = jnp.asarray(llrs, jnp.int8)
+        llrs = jnp.asarray(llrs, dtype)
         assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
         B = llrs.shape[0]
         llr_t = llrs.T.astype(jnp.int32)
@@ -444,10 +463,10 @@ def make_ms_decoder_qc_i8(
                     m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a1))
                     m1 = jnp.minimum(m1, a1)
                     sg_cnt = sg_cnt + (nv < 0).astype(jnp.int32)
-                    new_vs.append(nv.astype(jnp.int8))
+                    new_vs.append(nv.astype(dtype))
                 ok = jnp.logical_and(ok, ((par & 1) == 0).all(axis=0))
-                new_min1.append(m1.astype(jnp.int8))
-                new_min2.append(m2.astype(jnp.int8))
+                new_min1.append(m1.astype(dtype))
+                new_min2.append(m2.astype(dtype))
                 new_sgn.append((sg_cnt & 1).astype(bool))
 
             packed = jnp.concatenate(
@@ -473,8 +492,8 @@ def make_ms_decoder_qc_i8(
             return jnp.logical_and(it < maxiters, jnp.logical_not(done.all()))
 
         sumA = sum(len(row) for row in s.rows)
-        z8 = tuple(jnp.zeros((M, B), jnp.int8) for _ in range(sumA))
-        zmb = tuple(jnp.zeros((M, B), jnp.int8) for _ in range(R))
+        z8 = tuple(jnp.zeros((M, B), dtype) for _ in range(sumA))
+        zmb = tuple(jnp.zeros((M, B), dtype) for _ in range(R))
         state = (
             z8, zmb, zmb,
             tuple(jnp.zeros((M, B), bool) for _ in range(R)),

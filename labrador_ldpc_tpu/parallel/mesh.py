@@ -21,9 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..codes.params import LDPCCode, get_code
-from ..channel.awgn import ChannelStats
-from ..ops.encoder import encode_bits
-from ..ops.qc_minsum import make_ms_decoder_qc
+from ..channel.awgn import _make_decoder, make_trial_step
 
 __all__ = ["make_batch_mesh", "batch_sharding", "make_sharded_decoder", "make_sharded_trial_step"]
 
@@ -50,15 +48,18 @@ def make_sharded_decoder(
     dtype=jnp.float32,
     maxiters: int = 20,
     alpha: float | None = None,
+    impl: str = "qc",
 ):
     """Batched min-sum decoder with the batch sharded over the mesh.
 
     Returns fn(llrs: (B, n)) -> MSResult with B divisible by mesh size.
     Each shard decodes independently; only the while_loop's global
     all-done predicate crosses chips (a tiny boolean all-reduce).
+    `impl` selects the implementation (see channel.awgn._make_decoder);
+    int dtypes route to the saturating QC int path.
     """
     code = get_code(code)
-    decoder = make_ms_decoder_qc(code, dtype, maxiters, alpha)
+    decoder = _make_decoder(code, jnp.dtype(dtype), maxiters, alpha, impl)
     in_s = NamedSharding(mesh, P("batch", None))
 
     def decode(llrs):
@@ -75,40 +76,25 @@ def make_sharded_trial_step(
     maxiters: int = 100,
     dtype=jnp.float32,
     alpha: float | None = None,
+    impl: str = "qc",
+    llr_scale: float | None = None,
 ):
     """End-to-end sharded channel trial step.
 
     Returns fn(key, sigma) -> ChannelStats where the (global_batch, n)
     pipeline is sharded P('batch') across the mesh and the returned scalar
-    counters are global psums. Requires the partitionable threefry PRNG
-    (default in current JAX) so random generation shards without
-    cross-device traffic.
+    counters are global psums. Thin wrapper over channel.awgn's
+    make_trial_step(mesh=...), which holds the single definition of the
+    trial pipeline (so every impl/dtype/quantizer combination behaves
+    identically sharded and unsharded).
     """
-    code = get_code(code)
-    p = code.params
-    dtype = jnp.dtype(dtype)
-    assert global_batch % mesh.devices.size == 0
-    decoder = make_ms_decoder_qc(code, dtype, maxiters, alpha)
-    data_s = NamedSharding(mesh, P("batch", None))
-
-    def step(key, sigma) -> ChannelStats:
-        kd, kn = jax.random.split(key)
-        data_bits = jax.random.bernoulli(kd, 0.5, (global_batch, p.k)).astype(jnp.uint8)
-        data_bits = jax.lax.with_sharding_constraint(data_bits, data_s)
-        cw_bits = encode_bits(code, data_bits)
-        tx = 1.0 - 2.0 * cw_bits.astype(jnp.float32)
-        noise = jax.random.normal(kn, tx.shape, jnp.float32) * sigma
-        llrs = jax.lax.with_sharding_constraint((tx + noise).astype(dtype), data_s)
-        res = decoder(llrs)
-        data_hat = res.bits[:, : p.k]
-        bit_err = (data_hat != data_bits).sum(dtype=jnp.int32, axis=1)
-        # scalar reductions over the sharded batch axis compile to psums
-        return ChannelStats(
-            trials=jnp.asarray(global_batch, jnp.int32),
-            bit_errors=bit_err.sum(dtype=jnp.int32),
-            frame_errors=(bit_err > 0).sum(dtype=jnp.int32),
-            decode_failures=(~res.success).sum(dtype=jnp.int32),
-            iterations=res.iterations.sum(dtype=jnp.int32),
-        )
-
-    return jax.jit(step)
+    return make_trial_step(
+        get_code(code),
+        global_batch,
+        maxiters,
+        jnp.dtype(dtype).name,
+        alpha,
+        impl,
+        llr_scale,
+        mesh,
+    )

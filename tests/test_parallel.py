@@ -71,3 +71,41 @@ def test_unsharded_trial_step_matches_sharded():
     s8 = make_sharded_trial_step(c, 64, mesh, 20)(key, sigma)
     for a, b in zip(s1, s8):
         assert int(a) == int(b)
+
+
+@pytest.mark.parametrize(
+    "impl,dtype",
+    [("layered", "float32"), ("qc_i8", "int8"), ("qc", "int16"), ("ref", "float32")],
+)
+def test_sharded_matches_unsharded_all_impls(impl, dtype):
+    """Mesh-vs-single equality for every production impl/dtype combination
+    (VERDICT r1 item 6): the sharded harness must honor `impl` and the int
+    quantizer, not silently fall back to the float qc path."""
+    c = get_code("TC128")
+    mesh = make_batch_mesh()
+    sigma = jnp.float32(noise_sigma(1.2, c, "perftest"))
+    key = jax.random.PRNGKey(7)
+    s1 = make_trial_step(c, 64, 20, dtype, None, impl)(key, sigma)
+    s8 = make_sharded_trial_step(c, 64, mesh, 20, dtype, None, impl)(key, sigma)
+    for a, b in zip(s1, s8):
+        assert int(a) == int(b)
+
+
+def test_sharded_decoder_impl_param():
+    """make_sharded_decoder routes impl/dtype like the unsharded factories."""
+    from labrador_ldpc_tpu.channel import quantize_llrs
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_qc_int
+
+    c = get_code("TC256")
+    mesh = make_batch_mesh()
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, (16, c.k // 8), dtype=np.uint8)
+    cw = np.asarray(encoder.encode(c, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * np.unpackbits(cw, axis=1).astype(np.float32)
+    noisy = tx + rng.normal(0, 0.6, tx.shape).astype(np.float32)
+    llrs = quantize_llrs(jnp.asarray(noisy), jnp.int8)
+
+    res_1 = make_ms_decoder_qc_int(c, jnp.int8, 30)(llrs)
+    res_8 = make_sharded_decoder(c, mesh, jnp.int8, maxiters=30, impl="qc")(llrs)
+    assert np.array_equal(np.asarray(res_1.bits), np.asarray(res_8.bits))
+    assert np.array_equal(np.asarray(res_1.success), np.asarray(res_8.success))
