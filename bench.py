@@ -37,7 +37,7 @@ def main():
 
     code = get_code("TM8192")
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-    impl = os.environ.get("BENCH_IMPL", "qc")  # ref | qc | pallas
+    impl = os.environ.get("BENCH_IMPL", "pallas_qc")  # ref | qc | pallas_qc
     rng = np.random.default_rng(0)
     data = rng.integers(0, 256, (B, code.k // 8), dtype=np.uint8)
     cw = np.array(encode(code, jnp.asarray(data)))

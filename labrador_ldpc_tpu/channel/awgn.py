@@ -35,7 +35,9 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     """Select the min-sum implementation: "ref" (reference-order XLA),
     "qc" (roll-based XLA; int dtypes route to the saturating QC int path),
     "layered" (row-layered schedule), "qc_i8"/"qc_i16" (explicit saturating
-    QC int paths), or "pallas" (experimental fused kernel).
+    QC int paths), "pallas" (experimental fused kernel, small codes), or
+    "pallas_qc" (VMEM-resident fused QC kernel, M >= 512 TM codes — the
+    fastest path on real TPU hardware).
 
     Raises ValueError with an explicit message on unsupported dtype/impl
     combinations instead of failing deep inside the decoder builders.
@@ -74,8 +76,17 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
         from ..ops.pallas_minsum import make_ms_decoder_pallas
 
         return make_ms_decoder_pallas(code, dtype, maxiters, alpha)
+    if impl == "pallas_qc":
+        if is_int:
+            raise ValueError(
+                "pallas_qc decoder supports float32/bfloat16; use impl='qc' "
+                "for int dtypes"
+            )
+        from ..ops.pallas_qc import make_ms_decoder_pallas_qc
+
+        return make_ms_decoder_pallas_qc(code, dtype, maxiters, alpha)
     raise ValueError(
-        f"unknown decoder impl {impl!r} (ref|qc|layered|qc_i8|qc_i16|pallas)"
+        f"unknown decoder impl {impl!r} (ref|qc|layered|qc_i8|qc_i16|pallas|pallas_qc)"
     )
 
 

@@ -1,0 +1,310 @@
+"""VMEM-resident QC min-sum decoder as a single Pallas TPU kernel.
+
+The round-1 XLA roll-based decoder (ops/qc_minsum.py) is HBM-bound: every
+while_loop iteration streams the whole message state (|E| x batch) plus
+roll materializations through HBM. This kernel changes the bound: the grid
+tiles the BATCH, and one grid step keeps the entire decode state for its
+codeword tile — messages, check stats, posteriors, frozen outputs — in
+VMEM for the full iteration loop. HBM traffic per codeword is one LLR read
+and one hard-bit write, independent of iteration count; the steady-state
+loop is VPU/VMEM-bound, which is the "speed-of-light" regime for this
+memory-bound algorithm (north-star: large-code kernel with on-chip LLR
+residency).
+
+Same algorithm as the reference `decode_ms` (decoder.rs:347-475,
+self-corrected min-sum, Savin arXiv:0803.1090) in the QC roll formulation
+(docs/DESIGN.md section 2): every H sub-block is a permutation = whole-block
+lane roll (theta quarter-rotation) + four per-quarter lane rolls (phi), so
+message movement is pure lane rotation — no gathers. Addends are processed
+by `fori_loop` over scalar-prefetched permutation tables (SMEM), keeping
+the Mosaic IR and scoped-VMEM stack small — the two failure modes of the
+round-1 whole-decode kernel (docs/DESIGN.md section 6).
+
+Layout: batch on SUBLANES, nodes on LANES — (B_tile, M) planes — so
+permutations are lane rolls and each grid step's tile early-exits its own
+`while_loop` independently (easy tiles finish in 2-3 iterations without
+waiting for the whole batch).
+
+Supported: codes with submatrix size M >= 512 (TM2048/5120/6144/8192 —
+quarter slices stay lane-tile aligned). Float32 is bit-exact vs
+make_ms_decoder_qc(f32) (same accumulation order); bfloat16 stores
+messages/posteriors in bf16 with f32 compute (per-step rounding), matching
+the XLA bf16 path's contract (validated on decode outcomes + BER).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..codes.expand import qc_structure
+from ..codes.params import LDPCCode, get_code
+from .minsum import MSResult
+
+__all__ = ["make_ms_decoder_pallas_qc"]
+
+
+def _edge_tables(s):
+    """Uniform per-addend permutation tables (rot == pi with theta=0,
+    phis = (shift,)*4): row, col*M, theta*(M/4), phis[4]."""
+    rows, colq, thetaq, phis = [], [], [], []
+    for r, row in enumerate(s.rows):
+        for perm in row:
+            rows.append(r)
+            colq.append(perm.col * s.m)
+            if perm.kind == "rot":
+                thetaq.append(0)
+                phis.append([perm.shift] * 4)
+            else:
+                thetaq.append(perm.theta * (s.m // 4))
+                phis.append(list(perm.phis))
+    row_off = [0]
+    for row in s.rows:
+        row_off.append(row_off[-1] + len(row))
+    return (
+        np.asarray(rows, np.int32),
+        np.asarray(colq, np.int32),
+        np.asarray(thetaq, np.int32),
+        np.asarray(phis, np.int32),
+        np.asarray(row_off, np.int32),
+    )
+
+
+def make_ms_decoder_pallas_qc(
+    code: LDPCCode | str,
+    dtype=jnp.float32,
+    maxiters: int = 20,
+    alpha: float | None = None,
+    batch_tile: int = 64,
+    interpret: bool = False,
+):
+    """Build the fused VMEM-resident QC min-sum decoder.
+
+    Returns fn(llrs: (B, n) dtype) -> MSResult; B must be a multiple of
+    `batch_tile`. See module docstring for the design; the update rules are
+    identical to make_ms_decoder_qc (f32 is bit-exact against it).
+    """
+    code = get_code(code)
+    p = code.params
+    dtype = jnp.dtype(dtype)
+    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError("pallas qc decoder supports float32/bfloat16")
+    s = qc_structure(code)
+    M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
+    if M < 512:
+        raise ValueError(
+            f"pallas qc decoder needs submatrix size >= 512 (lane-tile aligned "
+            f"quarters); {code.name} has M={M} — use make_ms_decoder_qc"
+        )
+    n, V = p.n, Cc * M
+    q = M // 4
+    sumA = sum(len(r) for r in s.rows)
+    B = batch_tile
+    rows_t, colq_t, thetaq_t, phis_t, row_off_t = _edge_tables(s)
+    # BIG: large sentinel for the running two-min (f32 compute)
+    BIG = 3.4e38
+    f32 = jnp.float32
+    alpha_c = None if alpha is None else float(alpha)
+
+    def fwd_perm(x, thq, ph):
+        """Check-side view of a var block: perm_rows(x_T, perm).T.
+        x: (B, M) f32; thq = theta*q; ph: tuple of 4 SMEM-loaded scalars."""
+        y = pltpu.roll(x, -thq, axis=1)
+        parts = [
+            pltpu.roll(y[:, t * q : (t + 1) * q], -ph[t], axis=1) for t in range(4)
+        ]
+        return jnp.concatenate(parts, axis=1)
+
+    def inv_perm(x, thq, ph):
+        """Scatter check-side values back to the var side (inverse)."""
+        parts = [
+            pltpu.roll(x[:, j * q : (j + 1) * q], ph[j], axis=1) for j in range(4)
+        ]
+        return pltpu.roll(jnp.concatenate(parts, axis=1), thq, axis=1)
+
+    def u_from(v, m1, m2, sg):
+        """Check->var message from stats (decoder.rs:388-405); all f32."""
+        av = jnp.abs(v)
+        mag = jnp.where(av == m1, m2, m1)
+        if alpha_c is not None:
+            mag = alpha_c * mag
+        neg = jnp.logical_xor(sg != 0.0, v < 0.0)
+        return jnp.where(neg, -mag, mag)
+
+    def kernel(
+        rows_r,  # scalar prefetch (SMEM): (sumA,)
+        colq_r,  # (sumA,)
+        thetaq_r,  # (sumA,)
+        phis_r,  # (sumA, 4)
+        row_off_r,  # (R+1,)
+        llr_ref,  # (B, n) dtype VMEM block
+        bits_ref,  # out: (B, V) f32 hard bits 0/1
+        done_ref,  # out: (B, 1) f32
+        iters_ref,  # out: (B, 1) i32
+        vs_ref,  # scratch: (sumA, B, M) dtype  var->check messages
+        m1_ref,  # scratch: (R, B, M) dtype
+        m2_ref,  # scratch: (R, B, M) dtype
+        sg_ref,  # scratch: (R, B, M) f32 (0/1 sign products)
+        va_ref,  # scratch: (B, V) dtype  posteriors
+        frozen_ref,  # scratch: (B, V) f32 frozen hard bits
+        fdone_ref,  # scratch: (B, 1) f32
+        fiters_ref,  # scratch: (B, 1) i32
+    ):
+        # per-tile state init (scratch persists across grid steps)
+        vs_ref[...] = jnp.zeros((sumA, B, M), dtype)
+        m1_ref[...] = jnp.zeros((R, B, M), dtype)  # min1 = 0 (decoder.rs:374)
+        m2_ref[...] = jnp.zeros((R, B, M), dtype)
+        sg_ref[...] = jnp.zeros((R, B, M), f32)
+        fdone_ref[...] = jnp.zeros((B, 1), f32)
+        fiters_ref[...] = jnp.full((B, 1), maxiters, jnp.int32)
+        frozen_ref[...] = jnp.zeros((B, V), f32)
+
+        def sweep1_body(e, _):
+            r = rows_r[e]
+            v = vs_ref[e].astype(f32)
+            u = u_from(v, m1_ref[r].astype(f32), m2_ref[r].astype(f32), sg_ref[r])
+            ph = tuple(phis_r[e, j] for j in range(4))
+            w = inv_perm(u, thetaq_r[e], ph)
+            c0 = pl.multiple_of(colq_r[e], 128)
+            va_ref[:, pl.ds(c0, M)] += w.astype(dtype)
+            return 0
+
+        def row_body(r, ok):
+            m1o = m1_ref[r].astype(f32)
+            m2o = m2_ref[r].astype(f32)
+            sgo = sg_ref[r]
+
+            def edge_body(e, carry):
+                m1n, m2n, sgc, par = carry
+                v = vs_ref[e].astype(f32)
+                u = u_from(v, m1o, m2o, sgo)
+                c0 = pl.multiple_of(colq_r[e], 128)
+                ph = tuple(phis_r[e, j] for j in range(4))
+                g = fwd_perm(va_ref[:, pl.ds(c0, M)].astype(f32), thetaq_r[e], ph)
+                nv = g - u
+                # self-correction: zero oscillating messages (decoder.rs:420-426)
+                keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
+                nv = jnp.where(keep, nv, 0.0)
+                vs_ref[e] = nv.astype(dtype)
+                par = par + (g < 0.0).astype(f32)
+                a1 = jnp.abs(nv.astype(dtype).astype(f32))
+                is_new = a1 < m1n
+                m2n = jnp.where(is_new, m1n, jnp.minimum(m2n, a1))
+                m1n = jnp.minimum(m1n, a1)
+                sgc = sgc + (nv < 0.0).astype(f32)
+                return (m1n, m2n, sgc, par)
+
+            big = jnp.full((B, M), BIG, f32)
+            zero = jnp.zeros((B, M), f32)
+            m1n, m2n, sgc, par = jax.lax.fori_loop(
+                row_off_r[r], row_off_r[r + 1], edge_body, (big, zero, zero, zero)
+            )
+            m1_ref[r] = m1n.astype(dtype)
+            m2_ref[r] = m2n.astype(dtype)
+            sg_ref[r] = sgc - 2.0 * jnp.floor(sgc * 0.5)  # mod 2, counts <= 19
+            par2 = par - 2.0 * jnp.floor(par * 0.5)
+            row_ok = jnp.min(1.0 - par2, axis=1, keepdims=True)  # 1 iff all even
+            return ok * row_ok
+
+        def iter_body(carry):
+            it, _cont = carry
+            # ---- sweep 1: posteriors from llr + all check messages ----
+            va_ref[:, :n] = llr_ref[...]
+            if V > n:  # punctured tail = 0 (decoder.rs:382-383)
+                va_ref[:, n:] = jnp.zeros((B, V - n), dtype)
+            jax.lax.fori_loop(0, sumA, sweep1_body, 0)
+            # ---- sweep 2: per-row streamed stats + self-corrected v ----
+            ok = jax.lax.fori_loop(0, R, row_body, jnp.ones((B, 1), f32))
+            # ---- freeze converged codewords at this iteration ----
+            done = fdone_ref[...]
+            newly = ok * (1.0 - done)
+            signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+            frozen_ref[...] = jnp.where(newly > 0.0, signs, frozen_ref[...])
+            fiters_ref[...] = jnp.where(
+                newly > 0.0, jnp.full((B, 1), 1, jnp.int32) * it, fiters_ref[...]
+            )
+            done = jnp.maximum(done, ok)
+            fdone_ref[...] = done
+            cont = jnp.logical_and(it + 1 < maxiters, jnp.min(done) < 1.0)
+            return (it + 1, cont)
+
+        jax.lax.while_loop(
+            lambda c: c[1], iter_body, (jnp.int32(0), jnp.bool_(True))
+        )
+        # non-converged codewords emit their final posterior signs
+        done = fdone_ref[...]
+        signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+        bits_ref[...] = jnp.where(done > 0.0, frozen_ref[...], signs)
+        done_ref[...] = done
+        iters_ref[...] = fiters_ref[...]
+
+    @functools.lru_cache(maxsize=8)
+    def build(batch: int):
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(batch // B,),
+            in_specs=[
+                pl.BlockSpec((B, n), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=[
+                pl.BlockSpec((B, V), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((sumA, B, M), dtype),
+                pltpu.VMEM((R, B, M), dtype),
+                pltpu.VMEM((R, B, M), dtype),
+                pltpu.VMEM((R, B, M), f32),
+                pltpu.VMEM((B, V), dtype),
+                pltpu.VMEM((B, V), f32),
+                pltpu.VMEM((B, 1), f32),
+                pltpu.VMEM((B, 1), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((batch, V), f32),
+                jax.ShapeDtypeStruct((batch, 1), f32),
+                jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+            ],
+            grid_spec=gs,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
+
+    tables = (
+        jnp.asarray(rows_t),
+        jnp.asarray(colq_t),
+        jnp.asarray(thetaq_t),
+        jnp.asarray(phis_t),
+        jnp.asarray(row_off_t),
+    )
+
+    @jax.jit
+    def decode(llrs: jnp.ndarray) -> MSResult:
+        llrs = jnp.asarray(llrs, dtype)
+        assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
+        batch = llrs.shape[0]
+        # pad the batch to a tile multiple; padded rows decode garbage that
+        # is sliced away (they cannot slow the real rows: each grid step
+        # early-exits its own tile independently)
+        pad = (-batch) % B
+        if pad:
+            llrs = jnp.concatenate([llrs, jnp.ones((pad, n), dtype)], axis=0)
+        bits_f, done_f, iters = build(batch + pad)(*tables, llrs)
+        return MSResult(
+            success=done_f[:batch, 0] > 0.0,
+            iterations=iters[:batch, 0],
+            bits=bits_f[:batch].astype(jnp.uint8),
+        )
+
+    return decode

@@ -104,3 +104,68 @@ def test_default_batch_tile_fits_all_codes():
         for dt in (jnp.float32, jnp.bfloat16):
             bt = default_batch_tile(c, dt)
             assert bt % 64 == 0 and 64 <= bt <= 512
+
+
+# ---------------------------------------------------------------------------
+# pallas_qc: VMEM-resident fused QC kernel (M >= 512 TM codes)
+# ---------------------------------------------------------------------------
+
+from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_qc
+
+
+def test_pallas_qc_matches_qc_xla_f32():
+    """f32: bit-identical (bits/success/iterations) to the XLA QC decoder,
+    on a noisy batch that is NOT a tile multiple (exercises padding)."""
+    code = get_code("TM2048")
+    B = 10
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = jnp.asarray(tx + 0.5 * rng.standard_normal(tx.shape).astype(np.float32))
+    r_p = make_ms_decoder_pallas_qc(code, jnp.float32, maxiters=12, batch_tile=4,
+                                    interpret=True)(noisy)
+    r_q = make_ms_decoder_qc(code, jnp.float32, maxiters=12)(noisy)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_q.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_q.success))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_q.iterations))
+
+
+def test_pallas_qc_three_bit_flips_bf16():
+    code = get_code("TM2048")
+    B = 8
+    rng = np.random.default_rng(13)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    rx = cw.copy()
+    rx[:, [0, 3, 5]] ^= 1
+    llrs = hard_to_llrs(pack_bits(jnp.asarray(rx)), jnp.bfloat16)
+    res = make_ms_decoder_pallas_qc(code, jnp.bfloat16, maxiters=50, batch_tile=8,
+                                    interpret=True)(llrs)
+    assert bool(np.asarray(res.success).all())
+    np.testing.assert_array_equal(np.asarray(res.bits)[:, : code.n], cw)
+
+
+def test_pallas_qc_alpha_matches_qc_xla():
+    """Normalized min-sum (alpha) parity with the XLA QC decoder."""
+    code = get_code("TM2048")
+    B = 4
+    rng = np.random.default_rng(17)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = jnp.asarray(tx + 0.5 * rng.standard_normal(tx.shape).astype(np.float32))
+    r_p = make_ms_decoder_pallas_qc(code, jnp.float32, maxiters=10, alpha=0.8,
+                                    batch_tile=4, interpret=True)(noisy)
+    r_q = make_ms_decoder_qc(code, jnp.float32, maxiters=10, alpha=0.8)(noisy)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_q.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_q.iterations))
+
+
+def test_pallas_qc_rejects_bad_configs():
+    with pytest.raises(ValueError):
+        make_ms_decoder_pallas_qc("TM2048", jnp.int8)
+    with pytest.raises(ValueError):
+        make_ms_decoder_pallas_qc("TC128", jnp.float32)  # M < 512
