@@ -10,11 +10,14 @@ plus MSB-first pack/unpack used throughout (the reference indexes bits as
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["unpack_bits", "pack_bits", "hard_to_llrs", "llrs_to_hard"]
 
-_MSB_SHIFTS = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-_MSB_WEIGHTS = (jnp.uint8(1) << _MSB_SHIFTS).astype(jnp.uint8)
+# numpy (not jnp): module import must not initialize a JAX backend — the
+# multi-host launcher configures devices after importing the package
+_MSB_SHIFTS = np.arange(7, -1, -1, dtype=np.uint8)
+_MSB_WEIGHTS = (1 << _MSB_SHIFTS).astype(np.uint8)
 
 
 def unpack_bits(data: jnp.ndarray) -> jnp.ndarray:

@@ -5,4 +5,11 @@ from .mesh import (
     make_sharded_trial_step,
 )
 
-__all__ = ["make_batch_mesh", "batch_sharding", "make_sharded_decoder", "make_sharded_trial_step"]
+__all__ = [
+    "make_batch_mesh",
+    "batch_sharding",
+    "make_sharded_decoder",
+    "make_sharded_trial_step",
+    # multi-host bootstrap + runner live in .launch (imported lazily: the
+    # module calls jax.distributed.initialize, keep it opt-in)
+]
