@@ -35,9 +35,8 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     """Select the min-sum implementation: "ref" (reference-order XLA),
     "qc" (roll-based XLA; int dtypes route to the saturating QC int path),
     "layered" (row-layered schedule), "qc_i8"/"qc_i16" (explicit saturating
-    QC int paths), "pallas" (experimental fused kernel, small codes), or
-    "pallas_qc" (VMEM-resident fused QC kernel, M >= 512 TM codes — the
-    fastest path on real TPU hardware).
+    QC int paths), or "pallas_qc" (VMEM-resident fused QC kernel, M >= 512
+    TM codes — the fastest path on real TPU hardware).
 
     Raises ValueError with an explicit message on unsupported dtype/impl
     combinations instead of failing deep inside the decoder builders.
@@ -72,10 +71,6 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
         from ..ops.qc_minsum import make_ms_decoder_layered
 
         return make_ms_decoder_layered(code, dtype, maxiters, alpha)
-    if impl == "pallas":
-        from ..ops.pallas_minsum import make_ms_decoder_pallas
-
-        return make_ms_decoder_pallas(code, dtype, maxiters, alpha)
     if impl == "pallas_qc":
         if is_int:
             raise ValueError(
@@ -86,7 +81,7 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
 
         return make_ms_decoder_pallas_qc(code, dtype, maxiters, alpha)
     raise ValueError(
-        f"unknown decoder impl {impl!r} (ref|qc|layered|qc_i8|qc_i16|pallas|pallas_qc)"
+        f"unknown decoder impl {impl!r} (ref|qc|layered|qc_i8|qc_i16|pallas_qc)"
     )
 
 

@@ -1,0 +1,90 @@
+"""Statistical BER regression gate for the production decoder.
+
+Reruns one mid-waterfall anchor point per code (from
+benchmarks/results/ber_regression_points.csv, regenerated on real TPU with
+>=5k bit errors per point by tools/gen_ber_anchors.py) at reduced budget
+and asserts the observed FRAME-error count lies inside a tolerance band
+around the anchor's frame-error rate. Frame errors are the robust
+statistic: bit errors cluster within failed frames, so their variance is
+governed by the frame count.
+
+The band (x/÷ BAND around the expectation, with >=70 expected frame
+errors per case) covers sampling noise (sigma/mu <= 12%, and the run is
+seed-deterministic so there is no flakiness) and backend float variation —
+measured healthy ratios are 0.84-0.94x — while a real decoder regression
+lands outside: in the steep waterfall region these anchors sit on, a
+~0.2 dB algorithmic loss (e.g. dropping min-sum self-correction,
+decoder.rs:420-426) multiplies the error rate by >2x. Calibrated
+deliberate bugs: alpha=0.5 (broken normalization) inflates frame errors
+2.32x on TC512 and 13.6x on TM8192; maxiters=6 inflates them 5.0x/13.6x —
+all outside the band.
+
+This enforces the driver metric "BER@Eb/N0 parity" in CI, which the
+reference only checks via its manually-run perftest
+(perftest/src/main.rs:50).
+"""
+
+import csv
+from pathlib import Path
+
+import pytest
+
+from labrador_ldpc_tpu.channel import waterfall
+
+ANCHOR_CSV = Path(__file__).resolve().parent.parent / \
+    "benchmarks/results/ber_regression_points.csv"
+
+# code -> (anchor snr, CI trials); SNRs picked where the anchor has
+# hundreds of frame errors AND the waterfall is steep (regression-sensitive)
+CASES = {
+    "TC128": (1.2, 2048),
+    "TC256": (1.0, 2048),
+    "TC512": (1.0, 1024),
+    "TM1280": (2.8, 1024),
+    "TM1536": (2.0, 1024),
+    "TM2048": (1.4, 4096),
+    "TM5120": (2.6, 512),
+    "TM6144": (1.8, 1024),
+    "TM8192": (1.1, 2048),
+}
+
+BAND = 2.0  # accept observed/expected frame errors in [1/BAND, BAND]
+
+
+def _anchors():
+    out = {}
+    with open(ANCHOR_CSV) as f:
+        for row in csv.reader(f):
+            code, snr, trials, bits, bit_errs, ber, model, frame_errs = row
+            out[(code, float(snr))] = dict(
+                trials=int(trials), bits=int(bits), bit_errors=int(bit_errs),
+                model=model, frame_errors=int(frame_errs),
+            )
+    return out
+
+
+@pytest.mark.parametrize("code", list(CASES))
+def test_ber_anchor(code):
+    snr, ci_trials = CASES[code]
+    a = _anchors()[(code, snr)]
+    fer_anchor = a["frame_errors"] / a["trials"]
+    expected_fe = fer_anchor * ci_trials
+    assert expected_fe >= 70, "anchor/trials choice too weak to detect regressions"
+
+    (pt,) = waterfall(
+        code, [snr],
+        batch=ci_trials,
+        maxiters=100,           # anchor protocol (tools/gen_ber_anchors.py)
+        max_bits=1,             # exactly one batch step
+        max_bit_errors=10**9,
+        noise_model=a["model"],
+        impl="qc",
+        seed=1,                 # independent sample from the anchor's seed 0
+    )
+    assert pt.trials == ci_trials
+    lo, hi = expected_fe / BAND, expected_fe * BAND
+    assert lo <= pt.frame_errors <= hi, (
+        f"{code}@{snr}dB: {pt.frame_errors} frame errors vs expected "
+        f"{expected_fe:.0f} [{lo:.0f}, {hi:.0f}] — decoder BER regressed "
+        f"(anchor FER {fer_anchor:.3e}, observed {pt.fer:.3e})"
+    )

@@ -1,0 +1,63 @@
+"""Regenerate benchmarks/results/ber_regression_points.csv.
+
+Per code, three anchor SNR points spanning the mid-waterfall (BER roughly
+5e-2 .. 1e-3) where a reduced-budget CI rerun observes hundreds of errors —
+an anchor with ~0 errors cannot detect a regression in either direction.
+Budget per point: stop at 5000 bit errors (plenty for a <±5% anchor) or
+16M data bits. Production impl (qc, f32), maxiters=100, batch=4096.
+
+Run on the real TPU: python tools/gen_ber_anchors.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from labrador_ldpc_tpu.channel import waterfall
+
+# (code, noise_model, snr list) — mid-waterfall regions picked from the
+# stored full curves / round-1 anchors
+GRID = [
+    ("TC128", "perftest", [1.2, 1.6, 2.0]),
+    ("TC256", "perftest", [1.0, 1.4, 1.8]),
+    ("TC512", "perftest", [1.0, 1.2, 1.3]),
+    ("TM1280", "ebn0", [2.4, 2.8, 3.2]),
+    ("TM1536", "ebn0", [1.6, 2.0, 2.4]),
+    ("TM2048", "ebn0", [1.0, 1.4, 1.8]),
+    ("TM5120", "ebn0", [2.2, 2.6, 3.0]),
+    ("TM6144", "ebn0", [1.4, 1.8, 2.0]),
+    ("TM8192", "ebn0", [0.9, 1.1, 1.2]),
+]
+
+OUT = Path(__file__).resolve().parents[1] / "benchmarks/results/ber_regression_points.csv"
+
+
+def main():
+    rows = []
+    for code, model, snrs in GRID:
+        pts = waterfall(
+            code,
+            snrs,
+            batch=4096,
+            maxiters=100,
+            max_bits=16_000_000,
+            max_bit_errors=5_000,
+            noise_model=model,
+            impl="qc",
+            seed=0,
+            verbose=True,
+        )
+        for p in pts:
+            rows.append(f"{p.csv()},{model},{p.frame_errors}")
+    OUT.write_text("\n".join(rows) + "\n")
+    print(f"wrote {len(rows)} anchors to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

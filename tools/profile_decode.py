@@ -28,7 +28,7 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--code", default="TM8192")
-    ap.add_argument("--impl", default="qc", choices=["ref", "qc", "layered", "pallas"])
+    ap.add_argument("--impl", default="qc", choices=["ref", "qc", "layered", "pallas_qc"])
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--maxiters", type=int, default=50)
