@@ -111,9 +111,13 @@ def bench_all(codes, impls, base_batch, reps, results):
                    maxiters=50, impl=impl, dtype=dtype_name)
 
         # --- steady-state per-iteration rate -------------------------------
-        # pure-noise LLRs never converge, so every codeword runs the fixed
-        # iteration budget: this tracks raw kernel quality, independent of
-        # the early-exit behavior the 3-bit-flip scenario exercises
+        # pure-noise LLRs (almost) never converge, so the batch runs the
+        # fixed iteration budget: this tracks raw kernel quality, independent
+        # of the early-exit behavior the 3-bit-flip scenario exercises.
+        # A few lanes of a small code CAN lock onto some valid codeword
+        # (TC128 has 2^64 of them); the while_loop still runs all ss_iters
+        # unless the WHOLE batch converges, so the rate stays valid — we only
+        # skip if convergence is widespread enough to question that.
         ss_iters = 20
         noise = jax.device_put(
             jnp.asarray(rng.standard_normal((batch, code.n)), jnp.float32))
@@ -129,7 +133,11 @@ def bench_all(codes, impls, base_batch, reps, results):
             except Exception as e:  # noqa: BLE001 - report and continue
                 print(f"ms_iter[{impl},{dtype_name}] {name}: SKIP ({type(e).__name__})")
                 continue
-            assert not bool(np.asarray(res.success).any()), "noise must not converge"
+            conv = float(np.asarray(res.success).mean())
+            if conv > 0.05:
+                print(f"ms_iter[{impl},{dtype_name}] {name}: "
+                      f"SKIP (noise converged {conv:.0%})")
+                continue
             t = _timeit(lambda: jax.block_until_ready(dec(noise_d)), reps)
             record(f"ms_iter[{impl},{dtype_name}]", name,
                    batch * ss_iters / t, "cw_iter/s",

@@ -15,10 +15,14 @@ Same algorithm as the reference `decode_ms` (decoder.rs:347-475,
 self-corrected min-sum, Savin arXiv:0803.1090) in the QC roll formulation
 (docs/DESIGN.md section 2): every H sub-block is a permutation = whole-block
 lane roll (theta quarter-rotation) + four per-quarter lane rolls (phi), so
-message movement is pure lane rotation — no gathers. Addends are processed
-by `fori_loop` over scalar-prefetched permutation tables (SMEM), keeping
-the Mosaic IR and scoped-VMEM stack small — the two failure modes of the
-round-1 whole-decode kernel (docs/DESIGN.md section 6).
+message movement is pure lane rotation — no gathers. Two addend-loop
+variants: the default unrolls the edge loops with STATIC roll shifts
+(identity sub-blocks free, static lane permutes for the rest — fastest);
+`static_tables=False` instead runs `fori_loop` over scalar-prefetched
+permutation tables (SMEM), keeping the Mosaic IR and scoped-VMEM stack
+O(1) in the addend count — the two failure modes of the round-1
+whole-decode kernel (docs/DESIGN.md section 6) — at ~60% of the static
+variant's throughput.
 
 Layout: batch on SUBLANES, nodes on LANES — (B_tile, M) planes — so
 permutations are lane rolls and each grid step's tile early-exits its own
@@ -82,12 +86,23 @@ def make_ms_decoder_pallas_qc(
     alpha: float | None = None,
     batch_tile: int = 64,
     interpret: bool = False,
+    static_tables: bool = True,
 ):
     """Build the fused VMEM-resident QC min-sum decoder.
 
     Returns fn(llrs: (B, n) dtype) -> MSResult; B must be a multiple of
     `batch_tile`. See module docstring for the design; the update rules are
     identical to make_ms_decoder_qc (f32 is bit-exact against it).
+
+    `static_tables=True` (default) burns the permutation tables into the
+    Mosaic IR (Python-unrolled edge loops, static roll shifts) instead of
+    streaming them from SMEM through `fori_loop`: identity sub-blocks then
+    cost nothing and the remaining rolls compile to static lane permutes —
+    1.2-1.7x faster than the dynamic variant on a v5e core (TM8192 f32:
+    380k vs 219k cw/s at B=16384). The price is a larger kernel body
+    (compile ~6 s vs ~2 s; the scoped-VMEM stack holds the unrolled
+    temporaries, still comfortable at batch_tile=64). `static_tables=False`
+    keeps the O(1)-IR fallback.
     """
     code = get_code(code)
     p = code.params
@@ -243,10 +258,135 @@ def make_ms_decoder_pallas_qc(
         done_ref[...] = done
         iters_ref[...] = fiters_ref[...]
 
+    # ---- statically-unrolled variant ------------------------------------
+    # Same update rules, but the edge loops are Python-unrolled with the
+    # permutation shifts as compile-time constants: identity sub-blocks
+    # (HI with shift 0 — most of the TM prototypes' addends) cost zero
+    # rolls, and the rest compile to static lane permutes.
+    def fwd_perm_s(x, perm):
+        """Check-side view of a (B, M) var block; static shifts.
+        (pltpu.roll wants non-negative static shifts: -s ≡ width - s.)"""
+        if perm.kind == "rot":
+            sh = (-perm.shift) % M
+            return x if sh == 0 else pltpu.roll(x, sh, axis=1)
+        parts = []
+        for t in range(4):  # output (check-side) quarter
+            src = (perm.theta + t) % 4
+            xq = x[:, src * q : (src + 1) * q]
+            sh = (-perm.phis[t]) % q
+            parts.append(xq if sh == 0 else pltpu.roll(xq, sh, axis=1))
+        return jnp.concatenate(parts, axis=1)
+
+    def inv_perm_s(x, perm):
+        """Scatter check-side values back to the var side (inverse)."""
+        if perm.kind == "rot":
+            sh = perm.shift % M
+            return x if sh == 0 else pltpu.roll(x, sh, axis=1)
+        parts = []
+        for t in range(4):  # output (var-side) quarter
+            j = (t - perm.theta) % 4
+            xq = x[:, j * q : (j + 1) * q]
+            sh = perm.phis[j] % q
+            parts.append(xq if sh == 0 else pltpu.roll(xq, sh, axis=1))
+        return jnp.concatenate(parts, axis=1)
+
+    def kernel_static(
+        llr_ref,
+        bits_ref,
+        done_ref,
+        iters_ref,
+        vs_ref,
+        m1_ref,
+        m2_ref,
+        sg_ref,
+        va_ref,
+        frozen_ref,
+        fdone_ref,
+        fiters_ref,
+    ):
+        vs_ref[...] = jnp.zeros((sumA, B, M), dtype)
+        m1_ref[...] = jnp.zeros((R, B, M), dtype)  # min1 = 0 (decoder.rs:374)
+        m2_ref[...] = jnp.zeros((R, B, M), dtype)
+        sg_ref[...] = jnp.zeros((R, B, M), f32)
+        fdone_ref[...] = jnp.zeros((B, 1), f32)
+        fiters_ref[...] = jnp.full((B, 1), maxiters, jnp.int32)
+        frozen_ref[...] = jnp.zeros((B, V), f32)
+
+        def iter_body(carry):
+            it, _cont = carry
+            # ---- sweep 1: posteriors from llr + all check messages ----
+            va_ref[:, :n] = llr_ref[...]
+            if V > n:  # punctured tail = 0 (decoder.rs:382-383)
+                va_ref[:, n:] = jnp.zeros((B, V - n), dtype)
+            e = 0
+            for r, row in enumerate(s.rows):
+                m1o = m1_ref[r].astype(f32)
+                m2o = m2_ref[r].astype(f32)
+                sgo = sg_ref[r]
+                for perm in row:
+                    u = u_from(vs_ref[e].astype(f32), m1o, m2o, sgo)
+                    c0 = perm.col * M
+                    va_ref[:, c0 : c0 + M] += inv_perm_s(u, perm).astype(dtype)
+                    e += 1
+            # ---- sweep 2: per-row streamed stats + self-corrected v ----
+            ok = jnp.ones((B, 1), f32)
+            e = 0
+            for r, row in enumerate(s.rows):
+                m1o = m1_ref[r].astype(f32)
+                m2o = m2_ref[r].astype(f32)
+                sgo = sg_ref[r]
+                m1n = jnp.full((B, M), BIG, f32)
+                m2n = jnp.zeros((B, M), f32)
+                sgc = jnp.zeros((B, M), f32)
+                par = jnp.zeros((B, M), f32)
+                for perm in row:
+                    v = vs_ref[e].astype(f32)
+                    u = u_from(v, m1o, m2o, sgo)
+                    c0 = perm.col * M
+                    g = fwd_perm_s(va_ref[:, c0 : c0 + M].astype(f32), perm)
+                    nv = g - u
+                    # self-correction (decoder.rs:420-426)
+                    keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
+                    nv = jnp.where(keep, nv, 0.0)
+                    vs_ref[e] = nv.astype(dtype)
+                    par = par + (g < 0.0).astype(f32)
+                    a1 = jnp.abs(nv.astype(dtype).astype(f32))
+                    is_new = a1 < m1n
+                    m2n = jnp.where(is_new, m1n, jnp.minimum(m2n, a1))
+                    m1n = jnp.minimum(m1n, a1)
+                    sgc = sgc + (nv < 0.0).astype(f32)
+                    e += 1
+                m1_ref[r] = m1n.astype(dtype)
+                m2_ref[r] = m2n.astype(dtype)
+                sg_ref[r] = sgc - 2.0 * jnp.floor(sgc * 0.5)  # mod 2
+                par2 = par - 2.0 * jnp.floor(par * 0.5)
+                ok = ok * jnp.min(1.0 - par2, axis=1, keepdims=True)
+            # ---- freeze converged codewords at this iteration ----
+            done = fdone_ref[...]
+            newly = ok * (1.0 - done)
+            signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+            frozen_ref[...] = jnp.where(newly > 0.0, signs, frozen_ref[...])
+            fiters_ref[...] = jnp.where(
+                newly > 0.0, jnp.full((B, 1), 1, jnp.int32) * it, fiters_ref[...]
+            )
+            done = jnp.maximum(done, ok)
+            fdone_ref[...] = done
+            cont = jnp.logical_and(it + 1 < maxiters, jnp.min(done) < 1.0)
+            return (it + 1, cont)
+
+        jax.lax.while_loop(
+            lambda c: c[1], iter_body, (jnp.int32(0), jnp.bool_(True))
+        )
+        done = fdone_ref[...]
+        signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+        bits_ref[...] = jnp.where(done > 0.0, frozen_ref[...], signs)
+        done_ref[...] = done
+        iters_ref[...] = fiters_ref[...]
+
     @functools.lru_cache(maxsize=8)
     def build(batch: int):
         gs = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=0 if static_tables else 5,
             grid=(batch // B,),
             in_specs=[
                 pl.BlockSpec((B, n), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
@@ -268,7 +408,7 @@ def make_ms_decoder_pallas_qc(
             ],
         )
         return pl.pallas_call(
-            kernel,
+            kernel_static if static_tables else kernel,
             out_shape=[
                 jax.ShapeDtypeStruct((batch, V), f32),
                 jax.ShapeDtypeStruct((batch, 1), f32),
@@ -300,7 +440,10 @@ def make_ms_decoder_pallas_qc(
         pad = (-batch) % B
         if pad:
             llrs = jnp.concatenate([llrs, jnp.ones((pad, n), dtype)], axis=0)
-        bits_f, done_f, iters = build(batch + pad)(*tables, llrs)
+        if static_tables:
+            bits_f, done_f, iters = build(batch + pad)(llrs)
+        else:
+            bits_f, done_f, iters = build(batch + pad)(*tables, llrs)
         return MSResult(
             success=done_f[:batch, 0] > 0.0,
             iterations=iters[:batch, 0],

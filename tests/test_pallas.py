@@ -19,9 +19,12 @@ from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_qc
 from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_qc
 
 
-def test_pallas_qc_matches_qc_xla_f32():
+@pytest.mark.parametrize("static_tables", [True, False],
+                         ids=["static", "dynamic"])
+def test_pallas_qc_matches_qc_xla_f32(static_tables):
     """f32: bit-identical (bits/success/iterations) to the XLA QC decoder,
-    on a noisy batch that is NOT a tile multiple (exercises padding)."""
+    on a noisy batch that is NOT a tile multiple (exercises padding), for
+    both the unrolled-static and SMEM-table kernel variants."""
     code = get_code("TM2048")
     B = 10
     rng = np.random.default_rng(11)
@@ -30,7 +33,8 @@ def test_pallas_qc_matches_qc_xla_f32():
     tx = 1.0 - 2.0 * cw.astype(np.float32)
     noisy = jnp.asarray(tx + 0.5 * rng.standard_normal(tx.shape).astype(np.float32))
     r_p = make_ms_decoder_pallas_qc(code, jnp.float32, maxiters=12, batch_tile=4,
-                                    interpret=True)(noisy)
+                                    interpret=True,
+                                    static_tables=static_tables)(noisy)
     r_q = make_ms_decoder_qc(code, jnp.float32, maxiters=12)(noisy)
     np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_q.bits))
     np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_q.success))
