@@ -5,6 +5,15 @@ Protocol mirrors the reference's decode microbenchmark scenario
 decode with maxiters=50 (converges in a few iterations), f32 LLRs. We run a
 large batch, steady-state timed over several repetitions on one chip.
 
+Timing is PIPELINED: K decode dispatches are enqueued back-to-back (JAX
+dispatch is async) and blocked on once, so the measurement is sustained
+device throughput — the way a production decoder server drives the chip —
+rather than K times the host<->device round-trip latency. In this
+environment the TPU sits behind a tunnel with a ~30-45 ms per-dispatch
+round trip, which at B=16384 is larger than the device time of the whole
+decode; a blocking per-dispatch protocol measures the tunnel, not the
+kernel (CLAUDE.md dispatch-latency rule).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
 ratio against the first recorded value of this same bench if present in
@@ -49,13 +58,16 @@ def main():
     jax.block_until_ready(res)
     assert bool(np.asarray(res.success).all()), "bench decode must converge"
 
-    reps = 5
+    reps = 3
+    K = int(os.environ.get("BENCH_PIPELINE", "16"))  # dispatches per timing
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(decoder(llrs))
+        outs = [decoder(llrs) for _ in range(K)]
+        jax.block_until_ready(outs)
         best = min(best, time.perf_counter() - t0)
-    cw_per_s = B / best
+        del outs
+    cw_per_s = K * B / best
 
     baseline_file = Path(__file__).parent / "BENCH_BASELINE.json"
     vs = 1.0
