@@ -254,7 +254,11 @@ def make_ms_decoder_pallas_qc(
         # non-converged codewords emit their final posterior signs
         done = fdone_ref[...]
         signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
-        bits_ref[...] = jnp.where(done > 0.0, frozen_ref[...], signs)
+        # Mosaic has no direct f32->u8 cast; values are exactly 0.0/1.0,
+        # so compare-then-cast (bool -> u8 lowers fine)
+        bits_ref[...] = (
+            jnp.where(done > 0.0, frozen_ref[...], signs) > 0.0
+        ).astype(jnp.uint8)
         done_ref[...] = done
         iters_ref[...] = fiters_ref[...]
 
@@ -304,50 +308,59 @@ def make_ms_decoder_pallas_qc(
         fdone_ref,
         fiters_ref,
     ):
-        vs_ref[...] = jnp.zeros((sumA, B, M), dtype)
-        m1_ref[...] = jnp.zeros((R, B, M), dtype)  # min1 = 0 (decoder.rs:374)
-        m2_ref[...] = jnp.zeros((R, B, M), dtype)
-        sg_ref[...] = jnp.zeros((R, B, M), f32)
+        # NO zero-init of vs/m1/m2/sg: iteration 0 is PEELED below with the
+        # reference's zero-state shortcut (u == 0 everywhere, decoder.rs:374
+        # zeroes the working area), which writes every one of those scratch
+        # planes before anything reads them.
         fdone_ref[...] = jnp.zeros((B, 1), f32)
         fiters_ref[...] = jnp.full((B, 1), maxiters, jnp.int32)
         frozen_ref[...] = jnp.zeros((B, V), f32)
 
-        def iter_body(carry):
-            it, _cont = carry
+        def one_iteration(it, first):
+            """One flooding iteration; `first` (Python bool) specializes the
+            peeled iteration 0 where all messages/stats are zero: sweep 1
+            degenerates to va = llr and sweep 2's u is exactly 0 (so nv = g,
+            self-correction always keeps — v == 0). Bit-exact vs the general
+            body run on zero state."""
             # ---- sweep 1: posteriors from llr + all check messages ----
             va_ref[:, :n] = llr_ref[...]
             if V > n:  # punctured tail = 0 (decoder.rs:382-383)
                 va_ref[:, n:] = jnp.zeros((B, V - n), dtype)
-            e = 0
-            for r, row in enumerate(s.rows):
-                m1o = m1_ref[r].astype(f32)
-                m2o = m2_ref[r].astype(f32)
-                sgo = sg_ref[r]
-                for perm in row:
-                    u = u_from(vs_ref[e].astype(f32), m1o, m2o, sgo)
-                    c0 = perm.col * M
-                    va_ref[:, c0 : c0 + M] += inv_perm_s(u, perm).astype(dtype)
-                    e += 1
+            if not first:
+                e = 0
+                for r, row in enumerate(s.rows):
+                    m1o = m1_ref[r].astype(f32)
+                    m2o = m2_ref[r].astype(f32)
+                    sgo = sg_ref[r]
+                    for perm in row:
+                        u = u_from(vs_ref[e].astype(f32), m1o, m2o, sgo)
+                        c0 = perm.col * M
+                        va_ref[:, c0 : c0 + M] += inv_perm_s(u, perm).astype(dtype)
+                        e += 1
             # ---- sweep 2: per-row streamed stats + self-corrected v ----
             ok = jnp.ones((B, 1), f32)
             e = 0
             for r, row in enumerate(s.rows):
-                m1o = m1_ref[r].astype(f32)
-                m2o = m2_ref[r].astype(f32)
-                sgo = sg_ref[r]
+                if not first:
+                    m1o = m1_ref[r].astype(f32)
+                    m2o = m2_ref[r].astype(f32)
+                    sgo = sg_ref[r]
                 m1n = jnp.full((B, M), BIG, f32)
                 m2n = jnp.zeros((B, M), f32)
                 sgc = jnp.zeros((B, M), f32)
                 par = jnp.zeros((B, M), f32)
                 for perm in row:
-                    v = vs_ref[e].astype(f32)
-                    u = u_from(v, m1o, m2o, sgo)
                     c0 = perm.col * M
                     g = fwd_perm_s(va_ref[:, c0 : c0 + M].astype(f32), perm)
-                    nv = g - u
-                    # self-correction (decoder.rs:420-426)
-                    keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
-                    nv = jnp.where(keep, nv, 0.0)
+                    if first:
+                        nv = g
+                    else:
+                        v = vs_ref[e].astype(f32)
+                        u = u_from(v, m1o, m2o, sgo)
+                        nv = g - u
+                        # self-correction (decoder.rs:420-426)
+                        keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
+                        nv = jnp.where(keep, nv, 0.0)
                     vs_ref[e] = nv.astype(dtype)
                     par = par + (g < 0.0).astype(f32)
                     a1 = jnp.abs(nv.astype(dtype).astype(f32))
@@ -371,15 +384,25 @@ def make_ms_decoder_pallas_qc(
             )
             done = jnp.maximum(done, ok)
             fdone_ref[...] = done
+            return done
+
+        done0 = one_iteration(jnp.int32(0), True)
+
+        def iter_body(carry):
+            it, _cont = carry
+            done = one_iteration(it, False)
             cont = jnp.logical_and(it + 1 < maxiters, jnp.min(done) < 1.0)
             return (it + 1, cont)
 
-        jax.lax.while_loop(
-            lambda c: c[1], iter_body, (jnp.int32(0), jnp.bool_(True))
-        )
+        cont0 = jnp.logical_and(1 < maxiters, jnp.min(done0) < 1.0)
+        jax.lax.while_loop(lambda c: c[1], iter_body, (jnp.int32(1), cont0))
         done = fdone_ref[...]
         signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
-        bits_ref[...] = jnp.where(done > 0.0, frozen_ref[...], signs)
+        # Mosaic has no direct f32->u8 cast; values are exactly 0.0/1.0,
+        # so compare-then-cast (bool -> u8 lowers fine)
+        bits_ref[...] = (
+            jnp.where(done > 0.0, frozen_ref[...], signs) > 0.0
+        ).astype(jnp.uint8)
         done_ref[...] = done
         iters_ref[...] = fiters_ref[...]
 
@@ -410,7 +433,7 @@ def make_ms_decoder_pallas_qc(
         return pl.pallas_call(
             kernel_static if static_tables else kernel,
             out_shape=[
-                jax.ShapeDtypeStruct((batch, V), f32),
+                jax.ShapeDtypeStruct((batch, V), jnp.uint8),
                 jax.ShapeDtypeStruct((batch, 1), f32),
                 jax.ShapeDtypeStruct((batch, 1), jnp.int32),
             ],
@@ -441,13 +464,13 @@ def make_ms_decoder_pallas_qc(
         if pad:
             llrs = jnp.concatenate([llrs, jnp.ones((pad, n), dtype)], axis=0)
         if static_tables:
-            bits_f, done_f, iters = build(batch + pad)(llrs)
+            bits_u8, done_f, iters = build(batch + pad)(llrs)
         else:
-            bits_f, done_f, iters = build(batch + pad)(*tables, llrs)
+            bits_u8, done_f, iters = build(batch + pad)(*tables, llrs)
         return MSResult(
             success=done_f[:batch, 0] > 0.0,
             iterations=iters[:batch, 0],
-            bits=bits_f[:batch].astype(jnp.uint8),
+            bits=bits_u8[:batch],
         )
 
     return decode
