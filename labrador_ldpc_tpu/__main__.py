@@ -21,7 +21,7 @@ def _cmd_waterfall(args) -> int:
     # validate dtype/impl compatibility up front with a clear CLI error
     # (the decoder factories raise too, but argparse errors are friendlier)
     int_dtypes = {"int8", "int16"}
-    if args.impl in ("layered", "pallas_qc") and args.dtype in int_dtypes:
+    if args.impl in ("layered", "pallas_qc", "pallas_layered") and args.dtype in int_dtypes:
         raise SystemExit(f"error: --impl {args.impl} supports float dtypes only")
     if args.impl == "qc_i8" and args.dtype != "int8":
         raise SystemExit("error: --impl qc_i8 requires --dtype int8")
@@ -86,7 +86,7 @@ def main(argv=None) -> int:
                    choices=["float32", "bfloat16", "float64", "int8", "int16", "int32"])
     w.add_argument("--alpha", type=float, default=None, help="normalized min-sum factor")
     w.add_argument("--impl", choices=["ref", "qc", "layered", "qc_i8", "qc_i16",
-                                      "pallas_qc"],
+                                      "pallas_qc", "pallas_layered"],
                    default="qc", help="int dtypes with 'qc' route to the saturating QC int path")
     w.add_argument("--llr-scale", type=float, default=None,
                    help="int-LLR quantizer scale (default: 16 for int8, 256 for int16)")

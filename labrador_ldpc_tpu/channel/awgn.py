@@ -71,17 +71,22 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
         from ..ops.qc_minsum import make_ms_decoder_layered
 
         return make_ms_decoder_layered(code, dtype, maxiters, alpha)
-    if impl == "pallas_qc":
+    if impl in ("pallas_qc", "pallas_layered"):
         if is_int:
             raise ValueError(
-                "pallas_qc decoder supports float32/bfloat16; use impl='qc' "
+                f"{impl} decoder supports float32/bfloat16; use impl='qc' "
                 "for int dtypes"
             )
-        from ..ops.pallas_qc import make_ms_decoder_pallas_qc
+        if impl == "pallas_qc":
+            from ..ops.pallas_qc import make_ms_decoder_pallas_qc
 
-        return make_ms_decoder_pallas_qc(code, dtype, maxiters, alpha)
+            return make_ms_decoder_pallas_qc(code, dtype, maxiters, alpha)
+        from ..ops.pallas_qc import make_ms_decoder_pallas_layered
+
+        return make_ms_decoder_pallas_layered(code, dtype, maxiters, alpha)
     raise ValueError(
-        f"unknown decoder impl {impl!r} (ref|qc|layered|qc_i8|qc_i16|pallas_qc)"
+        f"unknown decoder impl {impl!r} "
+        "(ref|qc|layered|qc_i8|qc_i16|pallas_qc|pallas_layered)"
     )
 
 

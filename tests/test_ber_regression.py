@@ -88,3 +88,45 @@ def test_ber_anchor(code):
         f"{expected_fe:.0f} [{lo:.0f}, {hi:.0f}] — decoder BER regressed "
         f"(anchor FER {fer_anchor:.3e}, observed {pt.fer:.3e})"
     )
+
+
+# The layered schedule (and its Pallas kernel, bit-exact to it at f32) is
+# BETTER than the flooding anchors at these points — measured FER ratios
+# 0.54x/0.58x of the qc anchor at maxiters=100 (faster information
+# propagation converges more codewords within the budget). The gate is
+# therefore ONE-SIDED above (a regression inflates frame errors well past
+# BAND) with a loose sanity floor below (counters are computed from real
+# bit errors vs ground truth, so "fake success" bugs cannot deflate them).
+LAYERED_CASES = {
+    "TM2048": (1.4, 4096),
+    "TM8192": (1.1, 2048),
+}
+
+
+@pytest.mark.parametrize("code", list(LAYERED_CASES))
+def test_ber_anchor_layered(code):
+    snr, ci_trials = LAYERED_CASES[code]
+    a = _anchors()[(code, snr)]
+    fer_anchor = a["frame_errors"] / a["trials"]
+    expected_fe = fer_anchor * ci_trials
+    assert expected_fe >= 70
+
+    (pt,) = waterfall(
+        code, [snr],
+        batch=ci_trials,
+        maxiters=100,
+        max_bits=1,
+        max_bit_errors=10**9,
+        noise_model=a["model"],
+        impl="layered",
+        seed=1,
+    )
+    assert pt.trials == ci_trials
+    assert pt.frame_errors <= expected_fe * BAND, (
+        f"{code}@{snr}dB layered: {pt.frame_errors} frame errors vs "
+        f"flooding-anchor expectation {expected_fe:.0f} — layered BER regressed"
+    )
+    assert pt.frame_errors >= expected_fe / 10, (
+        f"{code}@{snr}dB layered: implausibly few frame errors "
+        f"({pt.frame_errors} vs {expected_fe:.0f}) — check the harness"
+    )
