@@ -38,12 +38,27 @@ import numpy as np
 
 
 def _timeit(fn, reps=5):
+    """Best-of-reps time for ONE unit of work, measured PIPELINED.
+
+    `fn` must enqueue its work and return the unblocked result; _timeit
+    enqueues PIPELINE of them back-to-back and blocks once, so the number
+    reflects sustained device throughput rather than the host<->device
+    round trip (~30-45 ms through this environment's tunnel — larger than
+    the device time of most of these workloads; CLAUDE.md dispatch rule).
+    """
+    import jax
+
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
+        outs = [fn() for _ in range(PIPELINE)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / PIPELINE)
+        del outs
     return best
+
+
+PIPELINE = 8
 
 
 def bench_all(codes, impls, base_batch, reps, results):
@@ -78,7 +93,7 @@ def bench_all(codes, impls, base_batch, reps, results):
         # --- encode (benches/encode.rs: b.bytes = k/8) ---------------------
         enc = encoder.make_encoder(code)
         jax.block_until_ready(enc(data_j))
-        t = _timeit(lambda: jax.block_until_ready(enc(data_j)), reps)
+        t = _timeit(lambda: enc(data_j), reps)
         record("encode", name, batch / t, "cw/s")
         record("encode_data_rate", name, batch * k_bytes / t / 1e6, "MB/s")
 
@@ -91,7 +106,7 @@ def bench_all(codes, impls, base_batch, reps, results):
         bf = bitflip.make_bf_decoder_qc(code, maxiters=50)
         bits = unpack_bits(cw_j)
         jax.block_until_ready(bf(bits))
-        t = _timeit(lambda: jax.block_until_ready(bf(bits)), reps)
+        t = _timeit(lambda: bf(bits), reps)
         record("decode_bf", name, batch / t, "cw/s", maxiters=50)
 
         # --- decode_ms variants (benches/decode.rs:39-71) ------------------
@@ -106,7 +121,7 @@ def bench_all(codes, impls, base_batch, reps, results):
                 print(f"decode_ms[{impl},{dtype_name}] {name}: SKIP ({type(e).__name__})")
                 continue
             assert bool(np.asarray(res.success).all()), f"{impl} failed to decode"
-            t = _timeit(lambda: jax.block_until_ready(dec(llrs)), reps)
+            t = _timeit(lambda: dec(llrs), reps)
             record(f"decode_ms[{impl},{dtype_name}]", name, batch / t, "cw/s",
                    maxiters=50, impl=impl, dtype=dtype_name)
 
@@ -138,7 +153,7 @@ def bench_all(codes, impls, base_batch, reps, results):
                 print(f"ms_iter[{impl},{dtype_name}] {name}: "
                       f"SKIP (noise converged {conv:.0%})")
                 continue
-            t = _timeit(lambda: jax.block_until_ready(dec(noise_d)), reps)
+            t = _timeit(lambda: dec(noise_d), reps)
             record(f"ms_iter[{impl},{dtype_name}]", name,
                    batch * ss_iters / t, "cw_iter/s",
                    maxiters=ss_iters, impl=impl, dtype=dtype_name)
@@ -201,8 +216,10 @@ def main() -> int:
         codes = [c.value for c in ALL_CODES]
 
     impls = [("ref", "float32"), ("qc", "float32"), ("qc", "bfloat16"),
-             ("layered", "bfloat16"), ("qc_i8", "int8"), ("ref", "int8"),
-             ("pallas_qc", "float32"), ("pallas_qc", "bfloat16")]
+             ("layered", "float32"), ("layered", "bfloat16"),
+             ("qc_i8", "int8"), ("ref", "int8"),
+             ("pallas_qc", "float32"), ("pallas_qc", "bfloat16"),
+             ("pallas_layered", "float32"), ("pallas_layered", "bfloat16")]
 
     results: list[dict] = []
     t_start = time.time()

@@ -68,11 +68,20 @@ def waterfall(
     seed: int = 0,
     csv_out=None,
     verbose: bool = False,
+    pipeline_depth: int = 4,
 ) -> list[SnrPoint]:
     """Run a BER/FER waterfall sweep; returns one SnrPoint per SNR.
 
     Stopping rules per point mirror the reference: stop when `max_bits` data
     bits have been simulated or `max_bit_errors` bit errors observed.
+
+    Up to `pipeline_depth` trial steps are kept in flight (JAX dispatch is
+    async), so the device stays busy instead of paying the host round trip
+    between batches — the TPU analog of the reference perftest's in-flight
+    rayon workers (perftest/src/main.rs:39-49). Like those workers, batches
+    already in flight when the bit-error budget trips are still counted
+    (deterministic for a fixed seed/depth); the bits budget is computed
+    ahead of launch and never overshoots.
 
     Integer dtypes quantize the channel LLRs with awgn.quantize_llrs
     (`llr_scale`, default awgn.default_llr_scale(dtype)).
@@ -89,13 +98,28 @@ def waterfall(
     step = make_trial_step(code, batch, maxiters, dtype_name, alpha, impl, llr_scale, mesh)
     key = jax.random.PRNGKey(seed)
     results = []
+    # each step simulates exactly batch*k data bits, so the bits budget
+    # translates to a step count ahead of time (matches the old
+    # check-before-launch loop exactly when the error budget never binds)
+    n_steps_max = max(1, -(-max_bits // (batch * k)))
     for snr in snrs_db:
         sigma = noise_sigma(snr, code, noise_model)
         pt = SnrPoint(code=code.value, snr_db=snr)
         t0 = time.perf_counter()
-        while pt.bits < max_bits and pt.bit_errors < max_bit_errors:
-            key, sub = jax.random.split(key)
-            stats = jax.tree.map(lambda x: np.asarray(x), step(sub, sigma))
+        inflight: list = []
+        launched = 0
+        while True:
+            while (
+                launched < n_steps_max
+                and len(inflight) < max(1, pipeline_depth)
+                and pt.bit_errors < max_bit_errors
+            ):
+                key, sub = jax.random.split(key)
+                inflight.append(step(sub, sigma))
+                launched += 1
+            if not inflight:
+                break
+            stats = jax.tree.map(lambda x: np.asarray(x), inflight.pop(0))
             pt.trials += int(stats.trials)
             pt.bits += int(stats.trials) * k
             pt.bit_errors += int(stats.bit_errors)

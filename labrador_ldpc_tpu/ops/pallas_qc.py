@@ -584,8 +584,10 @@ def make_ms_decoder_pallas_layered(
                 m1 = jnp.full((B, M), BIG, f32)
                 m2 = jnp.zeros((B, M), f32)
                 sgc = jnp.zeros((B, M), f32)
+                a1s = []
                 for t in ts:
                     a1 = jnp.abs(t.astype(dtype).astype(f32))
+                    a1s.append(a1)
                     is_new = a1 < m1
                     m2 = jnp.where(is_new, m1, jnp.minimum(m2, a1))
                     m1 = jnp.minimum(m1, a1)
@@ -596,8 +598,7 @@ def make_ms_decoder_pallas_layered(
                     e = row_off[r] + a
                     c0 = perm.col * M
                     t = ts[a]
-                    a1 = jnp.abs(t.astype(dtype).astype(f32))
-                    mag = jnp.where(a1 == m1, m2, m1)
+                    mag = jnp.where(a1s[a] == m1, m2, m1)
                     if alpha_c is not None:
                         mag = alpha_c * mag
                     neg = jnp.logical_xor(sg != 0.0, t < 0.0)
@@ -622,7 +623,7 @@ def make_ms_decoder_pallas_layered(
             # ---- freeze converged codewords at this iteration ----
             done = fdone_ref[...]
             newly = ok * (1.0 - done)
-            signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+            signs = jnp.concatenate(sign_blocks, axis=1)  # reuse syndrome planes
             frozen_ref[...] = jnp.where(newly > 0.0, signs, frozen_ref[...])
             fiters_ref[...] = jnp.where(
                 newly > 0.0, jnp.full((B, 1), 1, jnp.int32) * it, fiters_ref[...]

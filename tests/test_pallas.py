@@ -149,3 +149,24 @@ def test_pallas_layered_three_bit_flips_and_failures():
     r_l = make_ms_decoder_layered(code, jnp.float32, maxiters=6)(noise)
     np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_l.success))
     np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_l.bits))
+
+
+def test_pallas_layered_alpha_matches_layered_xla():
+    """Normalized min-sum (alpha) parity with the XLA layered decoder."""
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_layered
+
+    code = get_code("TM2048")
+    B = 4
+    rng = np.random.default_rng(31)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = jnp.asarray(tx + 0.5 * rng.standard_normal(tx.shape).astype(np.float32))
+    r_p = make_ms_decoder_pallas_layered(code, jnp.float32, maxiters=10,
+                                         alpha=0.8, batch_tile=4,
+                                         interpret=True)(noisy)
+    r_l = make_ms_decoder_layered(code, jnp.float32, maxiters=10, alpha=0.8)(noisy)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_l.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_l.iterations))
