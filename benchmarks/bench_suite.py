@@ -37,22 +37,44 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
+def _sync(out):
+    """Force completion of ALL enqueued work by fetching a small piece of
+    the LAST result to the host.
+
+    TPU programs execute in dispatch order, so a device->host copy of the
+    last dispatch's output cannot return before every earlier dispatch has
+    finished. `jax.block_until_ready` is NOT trustworthy through this
+    environment's tunnel: it has been observed returning while the device
+    was still working (a TM5120 encode once "measured" 407M cw/s, ~100x
+    the physically possible rate — the honest fetch-synced number is ~7M).
+    """
+    import jax
+
+    arrs = [l for l in jax.tree_util.tree_leaves(out) if isinstance(l, jax.Array)]
+    if not arrs:
+        return
+    a = min(arrs, key=lambda l: l.size)
+    if a.size > (1 << 16):
+        a = a.ravel()[:8]  # tiny dependent slice: 1 extra dispatch, 8-elem copy
+    np.asarray(a)
+
+
 def _timeit(fn, reps=5):
     """Best-of-reps time for ONE unit of work, measured PIPELINED.
 
     `fn` must enqueue its work and return the unblocked result; _timeit
-    enqueues PIPELINE of them back-to-back and blocks once, so the number
-    reflects sustained device throughput rather than the host<->device
-    round trip (~30-45 ms through this environment's tunnel — larger than
-    the device time of most of these workloads; CLAUDE.md dispatch rule).
+    enqueues PIPELINE of them back-to-back and syncs once (see _sync), so
+    the number reflects sustained device throughput rather than the
+    host<->device round trip (~30-45 ms through this environment's tunnel —
+    larger than the device time of most of these workloads; CLAUDE.md
+    dispatch rule). The single round trip is amortized, not subtracted, so
+    the reported rate is a conservative lower bound on device throughput.
     """
-    import jax
-
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         outs = [fn() for _ in range(PIPELINE)]
-        jax.block_until_ready(outs)
+        _sync(outs[-1])
         best = min(best, (time.perf_counter() - t0) / PIPELINE)
         del outs
     return best
@@ -82,17 +104,17 @@ def bench_all(codes, impls, base_batch, reps, results):
 
     for name in codes:
         code = get_code(name)
-        # small codes at the base batch sit on the ~30 ms dispatch-latency
-        # floor of the tunneled device and measure the tunnel, not the chip
-        # (CLAUDE.md); scale the batch so the device time dominates
-        batch = base_batch * 8 if code.n <= 2048 else base_batch
+        # scale the batch so per-dispatch fixed costs amortize and the
+        # device time dominates: 8x for small codes, 4x for the big TM
+        # codes (16384 matches the headline bench.py protocol)
+        batch = base_batch * 8 if code.n <= 2048 else base_batch * 4
         k_bytes = code.k // 8
         data = rng.integers(0, 256, (batch, k_bytes), dtype=np.uint8)
         data_j = jax.device_put(jnp.asarray(data))
 
         # --- encode (benches/encode.rs: b.bytes = k/8) ---------------------
         enc = encoder.make_encoder(code)
-        jax.block_until_ready(enc(data_j))
+        _sync(enc(data_j))
         t = _timeit(lambda: enc(data_j), reps)
         record("encode", name, batch / t, "cw/s")
         record("encode_data_rate", name, batch * k_bytes / t / 1e6, "MB/s")
@@ -105,7 +127,7 @@ def bench_all(codes, impls, base_batch, reps, results):
         # --- decode_bf (benches/decode.rs:22-37) ---------------------------
         bf = bitflip.make_bf_decoder_qc(code, maxiters=50)
         bits = unpack_bits(cw_j)
-        jax.block_until_ready(bf(bits))
+        _sync(bf(bits))
         t = _timeit(lambda: bf(bits), reps)
         record("decode_bf", name, batch / t, "cw/s", maxiters=50)
 
@@ -116,7 +138,7 @@ def bench_all(codes, impls, base_batch, reps, results):
             try:
                 dec = _make_decoder(code, dtype, 50, None, impl)
                 res = dec(llrs)
-                jax.block_until_ready(res)
+                _sync(res)
             except Exception as e:  # noqa: BLE001 - report and continue
                 print(f"decode_ms[{impl},{dtype_name}] {name}: SKIP ({type(e).__name__})")
                 continue
@@ -144,7 +166,7 @@ def bench_all(codes, impls, base_batch, reps, results):
             try:
                 dec = _make_decoder(code, dtype, ss_iters, None, impl)
                 res = dec(noise_d)
-                jax.block_until_ready(res)
+                _sync(res)
             except Exception as e:  # noqa: BLE001 - report and continue
                 print(f"ms_iter[{impl},{dtype_name}] {name}: SKIP ({type(e).__name__})")
                 continue
