@@ -36,6 +36,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+# persistent compile cache: Mosaic/XLA compiles through this environment's
+# remote helper take minutes; cache hits make chunked/re-run sweeps cheap
+import os as _os
+
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 
 def _sync(out):
     """Force completion of ALL enqueued work by fetching a small piece of
@@ -224,6 +233,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--filter", default="", help="only benches containing this substring")
+    ap.add_argument("--impls", default=None,
+                    help="comma-separated impl:dtype pairs (e.g. 'pallas_qc:int8')")
     ap.add_argument("--no-capi", action="store_true")
     ap.add_argument("--out", default=str(Path(__file__).parent / "results.jsonl"))
     args = ap.parse_args()
@@ -241,21 +252,38 @@ def main() -> int:
              ("layered", "float32"), ("layered", "bfloat16"),
              ("qc_i8", "int8"), ("ref", "int8"),
              ("pallas_qc", "float32"), ("pallas_qc", "bfloat16"),
-             ("pallas_layered", "float32"), ("pallas_layered", "bfloat16")]
+             ("pallas_layered", "float32"), ("pallas_layered", "bfloat16"),
+             ("pallas_qc", "int8"), ("pallas_layered", "int8")]
+    if args.impls:
+        impls = [tuple(pair.split(":", 1)) for pair in args.impls.split(",")]
 
-    results: list[dict] = []
     t_start = time.time()
-    bench_all(codes, impls, args.batch, args.reps, results)
-    if not args.no_capi:
-        bench_capi(codes, args.reps, results)
-
-    if args.filter:
-        results = [r for r in results if args.filter in r["bench"]]
     stamp = {"ts": round(t_start, 1)}
-    with open(args.out, "a") as f:
-        for r in results:
-            f.write(json.dumps({**stamp, **r}) + "\n")
-    print(f"\n{len(results)} results appended to {args.out}")
+    out_f = open(args.out, "a")
+    written = 0
+
+    class _Sink(list):
+        """Appends each row to the JSONL file as it is measured, so an
+        interrupted sweep (timeout, OOM, lost tunnel) keeps everything
+        recorded up to that point."""
+
+        def append(self, r):  # noqa: A003 - list interface
+            super().append(r)
+            nonlocal written
+            if args.filter and args.filter not in r["bench"]:
+                return
+            out_f.write(json.dumps({**stamp, **r}) + "\n")
+            out_f.flush()
+            written += 1
+
+    results = _Sink()
+    try:
+        bench_all(codes, impls, args.batch, args.reps, results)
+        if not args.no_capi:
+            bench_capi(codes, args.reps, results)
+    finally:
+        out_f.close()
+        print(f"\n{written} results appended to {args.out}")
     return 0
 
 

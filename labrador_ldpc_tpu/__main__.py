@@ -21,8 +21,11 @@ def _cmd_waterfall(args) -> int:
     # validate dtype/impl compatibility up front with a clear CLI error
     # (the decoder factories raise too, but argparse errors are friendlier)
     int_dtypes = {"int8", "int16"}
-    if args.impl in ("layered", "pallas_qc", "pallas_layered") and args.dtype in int_dtypes:
-        raise SystemExit(f"error: --impl {args.impl} supports float dtypes only")
+    if args.impl == "layered" and args.dtype in int_dtypes:
+        raise SystemExit(
+            "error: --impl layered supports float dtypes only "
+            "(use pallas_layered for saturating int LLRs)"
+        )
     if args.impl == "qc_i8" and args.dtype != "int8":
         raise SystemExit("error: --impl qc_i8 requires --dtype int8")
     if args.impl == "qc_i16" and args.dtype != "int16":
@@ -50,6 +53,7 @@ def _cmd_waterfall(args) -> int:
         seed=args.seed,
         csv_out=sys.stdout,
         verbose=args.verbose,
+        checkpoint=args.checkpoint,
     )
     return 0
 
@@ -91,6 +95,9 @@ def main(argv=None) -> int:
     w.add_argument("--llr-scale", type=float, default=None,
                    help="int-LLR quantizer scale (default: 16 for int8, 256 for int16)")
     w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="persist partial counts to PATH (JSONL) and resume "
+                        "an interrupted sweep from it")
     w.add_argument("--verbose", action="store_true")
     w.set_defaults(fn=_cmd_waterfall)
 

@@ -35,8 +35,9 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     """Select the min-sum implementation: "ref" (reference-order XLA),
     "qc" (roll-based XLA; int dtypes route to the saturating QC int path),
     "layered" (row-layered schedule), "qc_i8"/"qc_i16" (explicit saturating
-    QC int paths), or "pallas_qc" (VMEM-resident fused QC kernel, M >= 512
-    TM codes — the fastest path on real TPU hardware).
+    QC int paths), or "pallas_qc"/"pallas_layered" (VMEM-resident fused
+    kernels, M >= 512 TM codes — the fastest paths on real TPU hardware;
+    int8/int16 run the saturating semantics via exact f32 clips).
 
     Raises ValueError with an explicit message on unsupported dtype/impl
     combinations instead of failing deep inside the decoder builders.
@@ -72,11 +73,13 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
 
         return make_ms_decoder_layered(code, dtype, maxiters, alpha)
     if impl in ("pallas_qc", "pallas_layered"):
-        if is_int:
+        if dtype.name == "int32":
             raise ValueError(
-                f"{impl} decoder supports float32/bfloat16; use impl='qc' "
-                "for int dtypes"
+                f"{impl} supports float32/bfloat16/int8/int16; use impl='ref' "
+                "for int32"
             )
+        if is_int and alpha is not None:
+            raise ValueError("the saturating int path does not support alpha")
         if impl == "pallas_qc":
             from ..ops.pallas_qc import make_ms_decoder_pallas_qc
 

@@ -11,9 +11,11 @@ XLA psums (see parallel/mesh.py).
 
 from __future__ import annotations
 
+import json
 import sys
 import time
-from dataclasses import dataclass
+from dataclasses import asdict, dataclass
+from pathlib import Path
 
 import jax
 import numpy as np
@@ -52,6 +54,72 @@ class SnrPoint:
         return f"{self.code},{self.snr_db},{self.trials},{self.bits},{self.bit_errors},{self.ber:.6e}"
 
 
+class _Checkpoint:
+    """Append-only JSONL persistence of partial waterfall counts.
+
+    The reference perftest has no resume (a killed sweep restarts from
+    scratch); SURVEY.md section 5 names 'persisting BER-sweep partial
+    counts' as the one checkpoint/resume capability worth building here.
+    One line per drained batch: the current point's counters plus the
+    cumulative number of RNG key splits DRAINED so far. On resume the key
+    chain is fast-forwarded by that many splits, so the continued trial
+    stream is the deterministic suffix of the uninterrupted one (batches
+    that were in flight but never drained are simply re-run). A config
+    header line guards against resuming with mismatched parameters.
+    """
+
+    def __init__(self, path, config: dict):
+        self.path = Path(path)
+        self.config = config
+        self.points: dict[float, dict] = {}
+        self.splits = 0
+        if self.path.exists():
+            with self.path.open() as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    if rec.get("kind") == "config":
+                        mismatched = {
+                            k: (v, rec.get(k))
+                            for k, v in config.items()
+                            if rec.get(k) != v
+                        }
+                        if mismatched:
+                            raise ValueError(
+                                f"checkpoint {self.path} was written with different "
+                                f"parameters: {mismatched}"
+                            )
+                    elif rec.get("kind") == "point":
+                        self.points[float(rec["snr_db"])] = rec
+                        self.splits = max(self.splits, int(rec["splits"]))
+            self._f = self.path.open("a")
+        else:
+            self._f = self.path.open("w")
+            self._write({"kind": "config", **config})
+
+    def _write(self, rec: dict):
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def lookup(self, snr_db: float) -> tuple[SnrPoint | None, bool]:
+        """(restored point or None, whether it already completed)."""
+        rec = self.points.get(float(snr_db))
+        if rec is None:
+            return None, False
+        pt = SnrPoint(
+            **{k: rec[k] for k in SnrPoint.__dataclass_fields__ if k in rec}
+        )
+        return pt, bool(rec.get("done"))
+
+    def record(self, pt: SnrPoint, splits: int, done: bool):
+        self._write({"kind": "point", **asdict(pt), "splits": splits, "done": done})
+
+    def close(self):
+        self._f.close()
+
+
 def waterfall(
     code: LDPCCode | str,
     snrs_db: list[float],
@@ -69,6 +137,7 @@ def waterfall(
     csv_out=None,
     verbose: bool = False,
     pipeline_depth: int = 4,
+    checkpoint=None,
 ) -> list[SnrPoint]:
     """Run a BER/FER waterfall sweep; returns one SnrPoint per SNR.
 
@@ -92,11 +161,41 @@ def waterfall(
     GLOBAL batch and must divide by the mesh size. All impl/dtype/alpha
     combinations behave identically sharded and unsharded (one shared
     trial-step definition).
+
+    With `checkpoint` (a file path), partial counts are persisted after
+    every drained batch; rerunning the same sweep resumes mid-point and
+    produces counters identical to an uninterrupted run (see _Checkpoint).
+    (If the interruption raced the bit-error budget tripping, the resumed
+    run may count up to pipeline_depth fewer in-flight batches than the
+    uninterrupted one would have — both are valid stopping outcomes under
+    the reference protocol, perftest/src/main.rs:50.)
     """
     code = get_code(code)
     k = code.k
     step = make_trial_step(code, batch, maxiters, dtype_name, alpha, impl, llr_scale, mesh)
     key = jax.random.PRNGKey(seed)
+    ckpt = None
+    splits_drained = 0
+    if checkpoint is not None:
+        ckpt = _Checkpoint(
+            checkpoint,
+            {
+                "code": code.value,
+                "batch": batch,
+                "maxiters": maxiters,
+                "max_bits": max_bits,
+                "max_bit_errors": max_bit_errors,
+                "noise_model": noise_model,
+                "dtype_name": dtype_name,
+                "alpha": alpha,
+                "impl": impl,
+                "llr_scale": llr_scale,
+                "seed": seed,
+            },
+        )
+        splits_drained = ckpt.splits
+        for _ in range(splits_drained):  # fast-forward the key chain
+            key, _sub = jax.random.split(key)
     results = []
     # each step simulates exactly batch*k data bits, so the bits budget
     # translates to a step count ahead of time (matches the old
@@ -105,9 +204,21 @@ def waterfall(
     for snr in snrs_db:
         sigma = noise_sigma(snr, code, noise_model)
         pt = SnrPoint(code=code.value, snr_db=snr)
+        launched = 0
+        elapsed0 = 0.0
+        if ckpt is not None:
+            restored, done = ckpt.lookup(snr)
+            if restored is not None:
+                pt = restored
+                if done:
+                    results.append(pt)
+                    if csv_out is not None:
+                        print(pt.csv(), file=csv_out, flush=True)
+                    continue
+                launched = pt.trials // batch  # each step counts exactly batch
+                elapsed0 = pt.elapsed_s
         t0 = time.perf_counter()
         inflight: list = []
-        launched = 0
         while True:
             while (
                 launched < n_steps_max
@@ -126,7 +237,13 @@ def waterfall(
             pt.frame_errors += int(stats.frame_errors)
             pt.decode_failures += int(stats.decode_failures)
             pt.iterations += int(stats.iterations)
-        pt.elapsed_s = time.perf_counter() - t0
+            splits_drained += 1
+            if ckpt is not None:
+                pt.elapsed_s = elapsed0 + time.perf_counter() - t0
+                ckpt.record(pt, splits_drained, done=False)
+        pt.elapsed_s = elapsed0 + time.perf_counter() - t0
+        if ckpt is not None:
+            ckpt.record(pt, splits_drained, done=True)
         results.append(pt)
         line = pt.csv()
         if csv_out is not None:
@@ -137,4 +254,6 @@ def waterfall(
                 file=sys.stderr,
                 flush=True,
             )
+    if ckpt is not None:
+        ckpt.close()
     return results

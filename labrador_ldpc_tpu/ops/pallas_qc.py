@@ -34,6 +34,16 @@ quarter slices stay lane-tile aligned). Float32 is bit-exact vs
 make_ms_decoder_qc(f32) (same accumulation order); bfloat16 stores
 messages/posteriors in bf16 with f32 compute (per-step rounding), matching
 the XLA bf16 path's contract (validated on decode outcomes + BER).
+
+int8/int16 LLRs run the reference's saturating-arithmetic semantics
+(decoder.rs:42-55: clamp to the dtype range at every add/sub, saturating
+abs) with f32 storage and compute — exact, because every value the int
+algorithm can produce is an integer of magnitude <= 32767 << 2^24, so f32
+add/sub/abs/compare on them is lossless and `clip` reproduces the
+saturation points. Bit-exact (bits/success/iterations) vs
+make_ms_decoder_qc_int, whose accumulation order the static kernel shares.
+Mosaic v5e cannot vector-compare int8 natively; this formulation sidesteps
+that while keeping the VMEM-resident speed of the float kernels.
 """
 
 from __future__ import annotations
@@ -130,6 +140,10 @@ def make_ms_decoder_pallas_qc(
     `batch_tile`. See module docstring for the design; the update rules are
     identical to make_ms_decoder_qc (f32 is bit-exact against it).
 
+    int8/int16 dtypes run the reference's saturating semantics with f32
+    storage/compute (exact — module docstring) and are bit-exact vs
+    make_ms_decoder_qc_int (bits/success/iterations); static_tables only.
+
     `static_tables=True` (default) burns the permutation tables into the
     Mosaic IR (Python-unrolled edge loops, static roll shifts) instead of
     streaming them from SMEM through `fori_loop`: identity sub-blocks then
@@ -142,9 +156,19 @@ def make_ms_decoder_pallas_qc(
     """
     code = get_code(code)
     p = code.params
-    dtype = jnp.dtype(dtype)
-    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
-        raise ValueError("pallas qc decoder supports float32/bfloat16")
+    in_dtype = dtype = jnp.dtype(dtype)
+    is_int = dtype in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16))
+    if is_int:
+        # saturating int semantics, f32 storage/compute (module docstring)
+        if not static_tables:
+            raise ValueError("int LLRs require the static_tables kernel")
+        if alpha is not None:
+            raise ValueError("the saturating int path does not support alpha")
+        sat_lo = float(jnp.iinfo(dtype).min)
+        sat_hi = float(jnp.iinfo(dtype).max)
+        dtype = jnp.dtype(jnp.float32)
+    elif dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError("pallas qc decoder supports float32/bfloat16/int8/int16")
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     if M < 512:
@@ -157,7 +181,9 @@ def make_ms_decoder_pallas_qc(
     sumA = sum(len(r) for r in s.rows)
     B = batch_tile
     rows_t, colq_t, thetaq_t, phis_t, row_off_t = _edge_tables(s)
-    # BIG: large sentinel for the running two-min (f32 compute)
+    # BIG: large sentinel for the running two-min (f32 compute); the int
+    # path instead seeds min1/min2 at the saturation point, matching
+    # make_ms_decoder_qc_int's jnp.full(HI) (itself decoder.rs:42-55)
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
@@ -346,7 +372,16 @@ def make_ms_decoder_pallas_qc(
                     for perm in row:
                         u = u_from(vs_ref[e].astype(f32), m1o, m2o, sgo)
                         c0 = perm.col * M
-                        va_ref[:, c0 : c0 + M] += inv_perm_s(u, perm).astype(dtype)
+                        if is_int:  # saturate every add (decoder.rs:46-48)
+                            va_ref[:, c0 : c0 + M] = jnp.clip(
+                                va_ref[:, c0 : c0 + M] + inv_perm_s(u, perm),
+                                sat_lo,
+                                sat_hi,
+                            )
+                        else:
+                            va_ref[:, c0 : c0 + M] += inv_perm_s(u, perm).astype(
+                                dtype
+                            )
                         e += 1
             # ---- sweep 2: per-row streamed stats + self-corrected v ----
             ok = jnp.ones((B, 1), f32)
@@ -356,8 +391,10 @@ def make_ms_decoder_pallas_qc(
                     m1o = m1_ref[r].astype(f32)
                     m2o = m2_ref[r].astype(f32)
                     sgo = sg_ref[r]
-                m1n = jnp.full((B, M), BIG, f32)
-                m2n = jnp.zeros((B, M), f32)
+                m1n = jnp.full((B, M), sat_hi if is_int else BIG, f32)
+                m2n = jnp.full((B, M), sat_hi, f32) if is_int else jnp.zeros(
+                    (B, M), f32
+                )
                 sgc = jnp.zeros((B, M), f32)
                 par = jnp.zeros((B, M), f32)
                 for perm in row:
@@ -369,12 +406,17 @@ def make_ms_decoder_pallas_qc(
                         v = vs_ref[e].astype(f32)
                         u = u_from(v, m1o, m2o, sgo)
                         nv = g - u
+                        if is_int:  # saturating sub (decoder.rs:46-48)
+                            nv = jnp.clip(nv, sat_lo, sat_hi)
                         # self-correction (decoder.rs:420-426)
                         keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
                         nv = jnp.where(keep, nv, 0.0)
                     vs_ref[e] = nv.astype(dtype)
                     par = par + (g < 0.0).astype(f32)
-                    a1 = jnp.abs(nv.astype(dtype).astype(f32))
+                    if is_int:  # saturating abs: |-128| -> 127
+                        a1 = jnp.minimum(jnp.abs(nv), sat_hi)
+                    else:
+                        a1 = jnp.abs(nv.astype(dtype).astype(f32))
                     is_new = a1 < m1n
                     m2n = jnp.where(is_new, m1n, jnp.minimum(m2n, a1))
                     m1n = jnp.minimum(m1n, a1)
@@ -506,6 +548,9 @@ def make_ms_decoder_pallas_layered(
     divergence validated statistically (BER anchors) rather than against
     the reference bit-for-bit. f32 is bit-exact vs the XLA layered
     implementation (same accumulation order), including iteration counts.
+    int8/int16 run the saturating semantics with f32 storage/compute
+    (module docstring); with no XLA layered int twin, they are validated
+    on decode outcomes + BER against the flooding int kernel.
 
     Fusion strategy mirrors make_ms_decoder_pallas_qc's static variant:
     grid over the batch, whole decode state (check messages u, previous
@@ -518,8 +563,20 @@ def make_ms_decoder_pallas_layered(
     code = get_code(code)
     p = code.params
     dtype = jnp.dtype(dtype)
-    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
-        raise ValueError("pallas layered decoder supports float32/bfloat16")
+    is_int = dtype in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16))
+    if is_int:
+        # saturating int semantics with f32 storage/compute (module
+        # docstring); there is no XLA layered int path, so this variant is
+        # validated on decode outcomes + BER vs the flooding int kernel
+        if alpha is not None:
+            raise ValueError("the saturating int path does not support alpha")
+        sat_lo = float(jnp.iinfo(dtype).min)
+        sat_hi = float(jnp.iinfo(dtype).max)
+        dtype = jnp.dtype(jnp.float32)
+    elif dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(
+            "pallas layered decoder supports float32/bfloat16/int8/int16"
+        )
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     if M < 512:
@@ -576,17 +633,24 @@ def make_ms_decoder_pallas_layered(
                         t = g
                     else:
                         t = g - us_ref[e].astype(f32)
+                        if is_int:  # saturating sub (decoder.rs:46-48)
+                            t = jnp.clip(t, sat_lo, sat_hi)
                         tp = tps_ref[e].astype(f32)
                         keep = jnp.logical_or((t < 0.0) == (tp < 0.0), tp == 0.0)
                         t = jnp.where(keep, t, 0.0)  # (decoder.rs:420-426)
                     ts.append(t)
                 # two smallest |t| + sign product across the layer's addends
-                m1 = jnp.full((B, M), BIG, f32)
-                m2 = jnp.zeros((B, M), f32)
+                m1 = jnp.full((B, M), sat_hi if is_int else BIG, f32)
+                m2 = jnp.full((B, M), sat_hi, f32) if is_int else jnp.zeros(
+                    (B, M), f32
+                )
                 sgc = jnp.zeros((B, M), f32)
                 a1s = []
                 for t in ts:
-                    a1 = jnp.abs(t.astype(dtype).astype(f32))
+                    if is_int:  # saturating abs: |-128| -> 127
+                        a1 = jnp.minimum(jnp.abs(t), sat_hi)
+                    else:
+                        a1 = jnp.abs(t.astype(dtype).astype(f32))
                     a1s.append(a1)
                     is_new = a1 < m1
                     m2 = jnp.where(is_new, m1, jnp.minimum(m2, a1))
@@ -604,7 +668,14 @@ def make_ms_decoder_pallas_layered(
                     neg = jnp.logical_xor(sg != 0.0, t < 0.0)
                     u = jnp.where(neg, -mag, mag)
                     du = u if first else u - us_ref[e].astype(f32)
-                    va_ref[:, c0 : c0 + M] += inv_perm_s(du, perm).astype(dtype)
+                    if is_int:  # saturate the posterior update
+                        va_ref[:, c0 : c0 + M] = jnp.clip(
+                            va_ref[:, c0 : c0 + M] + inv_perm_s(du, perm),
+                            sat_lo,
+                            sat_hi,
+                        )
+                    else:
+                        va_ref[:, c0 : c0 + M] += inv_perm_s(du, perm).astype(dtype)
                     us_ref[e] = u.astype(dtype)
                     tps_ref[e] = t.astype(dtype)
             # end-of-iteration syndrome over the FINAL posteriors (per-layer

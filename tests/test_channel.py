@@ -137,3 +137,46 @@ def test_cli_validates_impl_dtype():
         main(["waterfall", "--impl", "qc_i8", "--dtype", "float32", "--snrs", "2.0"])
     with pytest.raises(SystemExit):
         main(["waterfall", "--impl", "layered", "--dtype", "int8", "--snrs", "2.0"])
+
+
+def test_waterfall_checkpoint_resume(tmp_path):
+    """Partial-count persistence: a sweep resumed from a truncated
+    checkpoint (simulated interruption mid-point) reproduces the
+    uninterrupted run's counters exactly (SURVEY.md §5 checkpoint item)."""
+    kw = dict(
+        batch=64,
+        maxiters=20,
+        max_bits=64 * 64 * 3,  # three batches per point
+        max_bit_errors=10**9,
+        seed=5,
+        pipeline_depth=2,
+    )
+    ref = waterfall("TC128", snrs_db=[2.0, 2.5], **kw)
+
+    ck = tmp_path / "sweep.ckpt"
+    waterfall("TC128", snrs_db=[2.0, 2.5], checkpoint=str(ck), **kw)
+    lines = ck.read_text().splitlines()
+    # config + (3 partial + 1 done) per point
+    assert len(lines) == 1 + 2 * 4
+    # "interrupt" mid-way through the second point: keep config, the whole
+    # first point, and one drained batch of the second
+    ck.write_text("\n".join(lines[:6]) + "\n")
+    resumed = waterfall("TC128", snrs_db=[2.0, 2.5], checkpoint=str(ck), **kw)
+    for a, b in zip(ref, resumed):
+        assert (a.trials, a.bits, a.bit_errors, a.frame_errors, a.iterations) == (
+            b.trials,
+            b.bits,
+            b.bit_errors,
+            b.frame_errors,
+            b.iterations,
+        )
+    # a second resume sees both points done and recomputes nothing
+    again = waterfall("TC128", snrs_db=[2.0, 2.5], checkpoint=str(ck), **kw)
+    assert [p.trials for p in again] == [p.trials for p in ref]
+
+    # mismatched parameters must be refused, not silently merged
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different"):
+        waterfall("TC128", snrs_db=[2.0], checkpoint=str(ck),
+                  **{**kw, "maxiters": 10})

@@ -96,9 +96,60 @@ def test_pallas_qc_multi_tile_early_exit():
 
 def test_pallas_qc_rejects_bad_configs():
     with pytest.raises(ValueError):
-        make_ms_decoder_pallas_qc("TM2048", jnp.int8)
+        make_ms_decoder_pallas_qc("TM2048", jnp.int32)
+    with pytest.raises(ValueError):  # int needs the static-tables kernel
+        make_ms_decoder_pallas_qc("TM2048", jnp.int8, static_tables=False)
+    with pytest.raises(ValueError):  # no alpha on the saturating path
+        make_ms_decoder_pallas_qc("TM2048", jnp.int8, alpha=0.8)
     with pytest.raises(ValueError):
         make_ms_decoder_pallas_qc("TC128", jnp.float32)  # M < 512
+
+
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.int16], ids=["i8", "i16"])
+def test_pallas_qc_int_matches_qc_int_xla(dtype):
+    """Saturating int semantics: bit-identical (bits/success/iterations) to
+    make_ms_decoder_qc_int — same accumulation order, saturation expressed
+    as f32 clips (exact for integer magnitudes <= 32767)."""
+    from labrador_ldpc_tpu.channel.awgn import default_llr_scale, quantize_llrs
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_qc_int
+
+    code = get_code("TM2048")
+    B = 10
+    rng = np.random.default_rng(37)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = tx + 0.6 * rng.standard_normal(tx.shape).astype(np.float32)
+    llrs = quantize_llrs(jnp.asarray(noisy), dtype, default_llr_scale(dtype))
+    r_p = make_ms_decoder_pallas_qc(code, dtype, maxiters=12, batch_tile=4,
+                                    interpret=True)(llrs)
+    r_q = make_ms_decoder_qc_int(code, dtype, maxiters=12)(llrs)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_q.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_q.success))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_q.iterations))
+
+
+def test_pallas_layered_int_three_bit_flips():
+    """Layered int8: recovers the 3-bit-flip protocol with hard +/-1 LLRs
+    scaled to the int range (no XLA layered-int twin exists; outcome-level
+    validation plus the BER anchor suite)."""
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+
+    code = get_code("TM2048")
+    B = 8
+    rng = np.random.default_rng(41)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    rx = cw.copy()
+    rx[:, [0, 3, 5]] ^= 1
+    llrs = np.where(np.asarray(rx) != 0, -16, 16).astype(np.int8)
+    res = make_ms_decoder_pallas_layered(code, jnp.int8, maxiters=50,
+                                         batch_tile=8, interpret=True)(
+        jnp.asarray(llrs)
+    )
+    assert bool(np.asarray(res.success).all())
+    np.testing.assert_array_equal(np.asarray(res.bits)[:, : code.n], cw)
 
 
 def test_pallas_layered_matches_layered_xla_f32():
@@ -170,3 +221,20 @@ def test_pallas_layered_alpha_matches_layered_xla():
     np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_l.bits))
     np.testing.assert_array_equal(np.asarray(r_p.iterations),
                                   np.asarray(r_l.iterations))
+
+
+def test_pallas_qc_int8_saturation_corners():
+    """Uniform random int8 LLRs spanning [-128, 127] hit every saturation
+    point (add/sub clamps, |-128| -> 127); still bit-exact vs qc_int."""
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_qc_int
+
+    code = get_code("TM2048")
+    rng = np.random.default_rng(99)
+    llrs = jnp.asarray(rng.integers(-128, 128, (8, code.n), dtype=np.int8))
+    r_p = make_ms_decoder_pallas_qc(code, jnp.int8, maxiters=8, batch_tile=4,
+                                    interpret=True)(llrs)
+    r_q = make_ms_decoder_qc_int(code, jnp.int8, maxiters=8)(llrs)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_q.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_q.success))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_q.iterations))
