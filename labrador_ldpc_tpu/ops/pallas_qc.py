@@ -29,8 +29,13 @@ permutations are lane rolls and each grid step's tile early-exits its own
 `while_loop` independently (easy tiles finish in 2-3 iterations without
 waiting for the whole batch).
 
-Supported: codes with submatrix size M >= 512 (TM2048/5120/6144/8192 —
-quarter slices stay lane-tile aligned). Float32 is bit-exact vs
+Supported: codes with lane-tile-multiple submatrix size (M % 128 == 0 —
+all six TM codes). For M >= 512 the theta/phi quarter slices stay
+lane-tile aligned (slice+roll+concat); M = 256 lowers the 64-lane slices
+acceptably; M = 128 instead assembles each permutation from full-width
+masked rolls (see _static_perm_fns). TC codes (M <= 64) stay on the XLA
+qc/layered paths. Per-code batch-tile defaults are measured-in
+(_default_batch_tile). Float32 is bit-exact vs
 make_ms_decoder_qc(f32) (same accumulation order); bfloat16 stores
 messages/posteriors in bf16 with f32 compute (per-step rounding), matching
 the XLA bf16 path's contract (validated on decode outcomes + BER).
@@ -67,7 +72,16 @@ def _static_perm_fns(M: int):
     """Static-shift block permutation helpers for (B, M) planes (nodes on
     lanes). Shifts are compile-time constants, so identity sub-blocks cost
     nothing and the rest lower to static lane permutes.
-    (pltpu.roll wants non-negative static shifts: -s == width - s.)"""
+    (pltpu.roll wants non-negative static shifts: -s == width - s.)
+
+    For M >= 512 the quarter slices are lane-tile (128) aligned and the
+    slice+roll+concat form is cheapest. For M < 512 (q = M//4 < 128) those
+    sub-tile slices force Mosaic relayouts; instead each output quarter is
+    assembled from full-M rolls masked by STATIC lane predicates:
+    out[tq + j] = x[src*q + (j + ph) % q] is roll(x, a)[l] with
+    a = (t - src)*q - ph for the non-wrapping j and a + q for the wrap,
+    selected by the static mask j < q - ph. All ops are full-width — no
+    slices, no concats."""
     q = M // 4
 
     def fwd_perm_s(x, perm):
@@ -96,7 +110,78 @@ def _static_perm_fns(M: int):
             parts.append(xq if sh == 0 else pltpu.roll(xq, sh, axis=1))
         return jnp.concatenate(parts, axis=1)
 
+    def _masked(x, srcs, phs):
+        """out quarter t, lane i: x[srcs[t]*q + (i - phs[t]) % q] — i.e. a
+        within-quarter roll by phs[t] of input quarter srcs[t] — built from
+        full-M static rolls + static lane masks (no sub-tile slices).
+        Non-wrapping lanes (i >= ph) come from roll(x, (t-src)*q + ph);
+        wrapping lanes (i < ph) need the extra -q: roll(x, a - q)."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+        j = lane % q  # static per-lane quarter offset
+        out = None
+        for t in range(4):
+            src, ph = srcs[t], phs[t] % q
+            a = ((t - src) * q + ph) % M
+            r0 = x if a == 0 else pltpu.roll(x, a, axis=1)
+            if ph == 0:
+                contrib = r0
+            else:
+                a2 = (a - q) % M
+                r1 = x if a2 == 0 else pltpu.roll(x, a2, axis=1)
+                contrib = jnp.where(j >= ph, r0, r1)
+            sel = lane // q == t
+            out = jnp.where(sel, contrib, out) if out is not None else contrib
+        return out
+
+    def fwd_perm_m(x, perm):
+        if perm.kind == "rot":
+            sh = (-perm.shift) % M
+            return x if sh == 0 else pltpu.roll(x, sh, axis=1)
+        # output quarter t reads source quarter (theta+t)%4 rolled by
+        # -phis[t] within the quarter
+        srcs = [(perm.theta + t) % 4 for t in range(4)]
+        phs = [(-perm.phis[t]) % q for t in range(4)]
+        return _masked(x, srcs, phs)
+
+    def inv_perm_m(x, perm):
+        if perm.kind == "rot":
+            sh = perm.shift % M
+            return x if sh == 0 else pltpu.roll(x, sh, axis=1)
+        srcs = [(t - perm.theta) % 4 for t in range(4)]
+        phs = [perm.phis[(t - perm.theta) % 4] % q for t in range(4)]
+        return _masked(x, srcs, phs)
+
+    # Measured on v5e (TM1280/TM1536, layered, B=32768): masked full-width
+    # rolls beat slice+concat only at M=128 (2.31M vs 1.75M cw/s); at
+    # M=256 the 64-lane slices already lower well and masking loses
+    # (1.79M vs 3.07M). Gate accordingly.
+    if M == 128:
+        return fwd_perm_m, inv_perm_m
     return fwd_perm_s, inv_perm_s
+
+
+def _default_batch_tile(M: int, sumA: int) -> int:
+    """Per-code batch-tile defaults, measured on a v5e core (layered f32,
+    B=32768/16384, pipelined protocol — see STATUS.md):
+
+      M=128  (TM1280): 128  (2.55M cw/s; 64: 0.7M, 256: 2.31M)
+      M=256  (TM1536): 512  (3.07M; 256: 2.76M)
+      M=512 light (TM2048, 15 addends): 256  (7.80M; 64: 3.88M, 512: 5.87M)
+      M=512 heavy (TM5120, 39 addends): 128  (2.62M; 256 fails to compile)
+      M=1024 (TM6144): 128  (2.16M; 256 fails to compile)
+      M=2048 (TM8192): 64   (1.74M; 128: 1.47M — VMEM/pipelining pressure)
+
+    The sweet spot balances per-tile fixed cost against VMEM pressure
+    (message planes scale with sumA*B*M)."""
+    if M == 128:
+        return 128
+    if M == 256:
+        return 512
+    if M == 512:
+        return 256 if sumA <= 15 else 128
+    if M == 1024:
+        return 128
+    return 64
 
 
 def _edge_tables(s):
@@ -130,7 +215,7 @@ def make_ms_decoder_pallas_qc(
     dtype=jnp.float32,
     maxiters: int = 20,
     alpha: float | None = None,
-    batch_tile: int = 64,
+    batch_tile: int | None = None,
     interpret: bool = False,
     static_tables: bool = True,
 ):
@@ -171,15 +256,16 @@ def make_ms_decoder_pallas_qc(
         raise ValueError("pallas qc decoder supports float32/bfloat16/int8/int16")
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
-    if M < 512:
+    if M < 128 or M % 128:
         raise ValueError(
-            f"pallas qc decoder needs submatrix size >= 512 (lane-tile aligned "
-            f"quarters); {code.name} has M={M} — use make_ms_decoder_qc"
+            f"pallas qc decoder needs a lane-tile-multiple submatrix size "
+            f"(M >= 128, M % 128 == 0); {code.name} has M={M} — use "
+            f"make_ms_decoder_qc"
         )
     n, V = p.n, Cc * M
     q = M // 4
     sumA = sum(len(r) for r in s.rows)
-    B = batch_tile
+    B = _default_batch_tile(M, sumA) if batch_tile is None else batch_tile
     rows_t, colq_t, thetaq_t, phis_t, row_off_t = _edge_tables(s)
     # BIG: large sentinel for the running two-min (f32 compute); the int
     # path instead seeds min1/min2 at the saturation point, matching
@@ -534,7 +620,7 @@ def make_ms_decoder_pallas_layered(
     dtype=jnp.float32,
     maxiters: int = 20,
     alpha: float | None = None,
-    batch_tile: int = 64,
+    batch_tile: int | None = None,
     interpret: bool = False,
 ):
     """VMEM-resident ROW-LAYERED self-corrected min-sum Pallas kernel.
@@ -579,14 +665,15 @@ def make_ms_decoder_pallas_layered(
         )
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
-    if M < 512:
+    if M < 128 or M % 128:
         raise ValueError(
-            f"pallas layered decoder needs submatrix size >= 512; "
-            f"{code.name} has M={M} — use make_ms_decoder_layered"
+            f"pallas layered decoder needs a lane-tile-multiple submatrix "
+            f"size (M >= 128, M % 128 == 0); {code.name} has M={M} — use "
+            f"make_ms_decoder_layered"
         )
     n, V = p.n, Cc * M
     sumA = sum(len(r) for r in s.rows)
-    B = batch_tile
+    B = _default_batch_tile(M, sumA) if batch_tile is None else batch_tile
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)

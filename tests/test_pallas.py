@@ -42,6 +42,51 @@ def test_pallas_qc_matches_qc_xla_f32(static_tables):
                                   np.asarray(r_q.iterations))
 
 
+@pytest.mark.parametrize("name", ["TM1280", "TM1536"])
+def test_pallas_qc_small_m_matches_qc_xla(name):
+    """M=128 (masked full-width rolls) and M=256 (64-lane quarter slices):
+    bit-identical to the XLA QC decoder on a noisy batch. These are the
+    sub-512 submatrix sizes enabled in round 2; the M=128 path exercises
+    the _masked lane-select construction in _static_perm_fns."""
+    code = get_code(name)
+    B = 6
+    rng = np.random.default_rng(23)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = jnp.asarray(tx + 0.5 * rng.standard_normal(tx.shape).astype(np.float32))
+    r_p = make_ms_decoder_pallas_qc(code, jnp.float32, maxiters=12, batch_tile=2,
+                                    interpret=True)(noisy)
+    r_q = make_ms_decoder_qc(code, jnp.float32, maxiters=12)(noisy)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_q.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_q.success))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_q.iterations))
+
+
+@pytest.mark.parametrize("name", ["TM1280", "TM1536"])
+def test_pallas_layered_small_m_matches_layered_xla(name):
+    """Layered kernel on the sub-512 submatrix sizes: bit-identical to the
+    XLA layered decoder (same accumulation order)."""
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_layered
+
+    code = get_code(name)
+    B = 6
+    rng = np.random.default_rng(29)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = jnp.asarray(tx + 0.5 * rng.standard_normal(tx.shape).astype(np.float32))
+    r_p = make_ms_decoder_pallas_layered(code, jnp.float32, maxiters=12,
+                                         batch_tile=2, interpret=True)(noisy)
+    r_l = make_ms_decoder_layered(code, jnp.float32, maxiters=12)(noisy)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_l.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_l.success))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_l.iterations))
+
+
 def test_pallas_qc_three_bit_flips_bf16():
     code = get_code("TM2048")
     B = 8
