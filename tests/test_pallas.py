@@ -147,7 +147,7 @@ def test_pallas_qc_rejects_bad_configs():
     with pytest.raises(ValueError):  # no alpha on the saturating path
         make_ms_decoder_pallas_qc("TM2048", jnp.int8, alpha=0.8)
     with pytest.raises(ValueError):
-        make_ms_decoder_pallas_qc("TC128", jnp.float32)  # M < 512
+        make_ms_decoder_pallas_qc("TC128", jnp.float32)  # M=16, not lane-tile
 
 
 @pytest.mark.parametrize("dtype", [jnp.int8, jnp.int16], ids=["i8", "i16"])
@@ -169,6 +169,30 @@ def test_pallas_qc_int_matches_qc_int_xla(dtype):
     r_p = make_ms_decoder_pallas_qc(code, dtype, maxiters=12, batch_tile=4,
                                     interpret=True)(llrs)
     r_q = make_ms_decoder_qc_int(code, dtype, maxiters=12)(llrs)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_q.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_q.success))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_q.iterations))
+
+
+def test_pallas_qc_int8_small_m_matches_qc_int_xla():
+    """Saturating int8 on the M=128 masked-roll path (TM1280): the masked
+    lane-select permutations must compose with the f32-clip saturation
+    semantics exactly as the slice form does."""
+    from labrador_ldpc_tpu.channel.awgn import default_llr_scale, quantize_llrs
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_qc_int
+
+    code = get_code("TM1280")
+    B = 8
+    rng = np.random.default_rng(43)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = tx + 0.5 * rng.standard_normal(tx.shape).astype(np.float32)
+    llrs = quantize_llrs(jnp.asarray(noisy), jnp.int8, default_llr_scale(jnp.int8))
+    r_p = make_ms_decoder_pallas_qc(code, jnp.int8, maxiters=12, batch_tile=4,
+                                    interpret=True)(llrs)
+    r_q = make_ms_decoder_qc_int(code, jnp.int8, maxiters=12)(llrs)
     np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_q.bits))
     np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_q.success))
     np.testing.assert_array_equal(np.asarray(r_p.iterations),
