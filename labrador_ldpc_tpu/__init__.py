@@ -36,8 +36,9 @@ from .ops.qc_minsum import (
     make_ms_decoder_qc_i8,
     make_ms_decoder_qc_int,
 )
-from .ops.pallas_qc import make_ms_decoder_pallas_qc
+from .ops.pallas_qc import make_ms_decoder_pallas_layered, make_ms_decoder_pallas_qc
 from .ops.bitflip import BFResult, decode_bf, decode_erasures_bits, make_bf_decoder, make_bf_decoder_qc
+from .ops.pallas_bf import make_bf_decoder_pallas
 
 __version__ = "0.1.0"
 
@@ -46,8 +47,10 @@ __all__ = [
     "parity_edges", "parity_check_matrix", "generator_parity_matrix", "decoder_tables",
     "encode", "encode_bits", "make_encoder",
     "decode_ms", "make_ms_decoder", "make_ms_decoder_qc", "make_ms_decoder_qc_i8",
-    "make_ms_decoder_qc_int", "make_ms_decoder_layered", "make_ms_decoder_pallas_qc", "MSResult",
-    "decode_bf", "make_bf_decoder", "make_bf_decoder_qc", "BFResult", "decode_erasures_bits",
+    "make_ms_decoder_qc_int", "make_ms_decoder_layered", "make_ms_decoder_pallas_qc",
+    "make_ms_decoder_pallas_layered", "MSResult",
+    "decode_bf", "make_bf_decoder", "make_bf_decoder_qc", "make_bf_decoder_pallas",
+    "BFResult", "decode_erasures_bits",
     "hard_to_llrs", "llrs_to_hard", "pack_bits", "unpack_bits",
     "__version__",
 ]
