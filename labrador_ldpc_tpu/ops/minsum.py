@@ -48,11 +48,12 @@ class MSResult(NamedTuple):
 
 # --- dtype policies (reference DecodeFrom, decoder.rs:42-86) ---------------
 
-# int LLRs use saturating arithmetic through a wider accumulator. int32
-# accumulates in int64 when x64 is enabled, else in float32 (exact for
-# |x| < 2^24 — far beyond practical LLR magnitudes). float64 requires
-# jax.config.update("jax_enable_x64", True) and is CPU-oriented (TPUs have
-# no native f64); both exist for DecodeFrom parity (decoder.rs:22-40).
+# int LLRs use saturating arithmetic: int8/int16 widen to an int32
+# accumulator and clip; int32 detects overflow on the wrapping add/sub
+# directly (exact over the FULL int32 range, no x64 needed — see
+# _sat_add). float64 requires jax.config.update("jax_enable_x64", True)
+# and is CPU-oriented (TPUs have no native f64); it exists for DecodeFrom
+# parity (decoder.rs:22-40).
 _INT_KINDS = (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16), jnp.dtype(jnp.int32))
 
 
@@ -61,13 +62,8 @@ def _is_int(dtype) -> bool:
 
 
 def _acc_dtype(dtype):
-    """Wider accumulator for saturating int ops."""
-    if jnp.dtype(dtype) == jnp.dtype(jnp.int32):
-        # int64 when x64 is on; else float32 keeps exactness for |x| < 2^24,
-        # plenty for LLR arithmetic
-        import jax
-
-        return jnp.int64 if jax.config.jax_enable_x64 else jnp.float32
+    """Wider accumulator for saturating int8/int16 ops (int32 uses exact
+    wrapping-overflow detection instead — see _sat_add/_sat_sub)."""
     return jnp.int32
 
 
@@ -79,26 +75,54 @@ def _maxval(dtype):
 
 
 def _sat_add(a, b, dtype):
-    if _is_int(dtype):
-        lo, hi = jnp.iinfo(dtype).min, jnp.iinfo(dtype).max
-        acc = _acc_dtype(dtype)
-        return jnp.clip(a.astype(acc) + b.astype(acc), lo, hi).astype(dtype)
+    """Saturating add, exact over the FULL dtype range (decoder.rs:42-68).
+
+    int8/int16 widen to int32 and clip; int32 instead detects overflow on
+    the wrapping two's-complement add (XLA s32 add wraps): overflow iff the
+    operands share a sign and the wrapped sum's sign differs — no int64 (so
+    no jax_enable_x64 requirement) and no float round-off."""
+    d = jnp.dtype(dtype)
+    if d == jnp.dtype(jnp.int32):
+        lo, hi = jnp.iinfo(d).min, jnp.iinfo(d).max
+        s = a + b
+        a_neg = a < 0
+        ovf = jnp.logical_and(a_neg == (b < 0), (s < 0) != a_neg)
+        return jnp.where(ovf, jnp.where(a_neg, lo, hi), s)
+    if _is_int(d):
+        lo, hi = jnp.iinfo(d).min, jnp.iinfo(d).max
+        acc = _acc_dtype(d)
+        return jnp.clip(a.astype(acc) + b.astype(acc), lo, hi).astype(d)
     return a + b
 
 
 def _sat_sub(a, b, dtype):
-    if _is_int(dtype):
-        lo, hi = jnp.iinfo(dtype).min, jnp.iinfo(dtype).max
-        acc = _acc_dtype(dtype)
-        return jnp.clip(a.astype(acc) - b.astype(acc), lo, hi).astype(dtype)
+    """Saturating sub; int32 overflows iff the operands' signs differ and
+    the wrapped difference's sign differs from a's (see _sat_add)."""
+    d = jnp.dtype(dtype)
+    if d == jnp.dtype(jnp.int32):
+        lo, hi = jnp.iinfo(d).min, jnp.iinfo(d).max
+        s = a - b
+        a_neg = a < 0
+        ovf = jnp.logical_and(a_neg != (b < 0), (s < 0) != a_neg)
+        return jnp.where(ovf, jnp.where(a_neg, lo, hi), s)
+    if _is_int(d):
+        lo, hi = jnp.iinfo(d).min, jnp.iinfo(d).max
+        acc = _acc_dtype(d)
+        return jnp.clip(a.astype(acc) - b.astype(acc), lo, hi).astype(d)
     return a - b
 
 
 def _sat_abs(x, dtype):
-    if _is_int(dtype):
-        hi = jnp.iinfo(dtype).max
-        acc = _acc_dtype(dtype)
-        return jnp.clip(jnp.abs(x.astype(acc)), 0, hi).astype(dtype)
+    """Saturating abs: |INT_MIN| -> INT_MAX (decoder.rs:51-55)."""
+    d = jnp.dtype(dtype)
+    if d == jnp.dtype(jnp.int32):
+        hi = jnp.iinfo(d).max
+        # abs(INT_MIN) wraps back to INT_MIN; guard it explicitly
+        return jnp.where(x == jnp.iinfo(d).min, hi, jnp.abs(x))
+    if _is_int(d):
+        hi = jnp.iinfo(d).max
+        acc = _acc_dtype(d)
+        return jnp.clip(jnp.abs(x.astype(acc)), 0, hi).astype(d)
     return jnp.abs(x)
 
 
@@ -141,19 +165,6 @@ def make_ms_decoder(
     dtype = jnp.dtype(dtype)
     if alpha is not None and _is_int(dtype):
         raise ValueError("normalized min-sum (alpha) requires a float dtype")
-    if dtype == jnp.dtype(jnp.int32) and not jax.config.jax_enable_x64:
-        # The float32 fallback accumulator is exact only for |LLR| < 2^24;
-        # the reference's i32 DecodeFrom (decoder.rs:60-68) is exact over the
-        # full range. Warn rather than fail: 2^24 is far beyond any sane LLR
-        # scaling, but the bit-exactness contract needs the caveat on record.
-        import warnings
-
-        warnings.warn(
-            "int32 min-sum without jax_enable_x64 accumulates in float32: "
-            "saturating arithmetic is exact only for |LLR| < 2^24 "
-            "(enable x64 for full-range int32 parity)",
-            stacklevel=2,
-        )
     tabs = _device_tables(code)
     t = tabs["meta"]
     Cn, Vn, dc, dv = t.n_checks, t.n_vars, t.dc_max, t.dv_max

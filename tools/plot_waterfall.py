@@ -31,7 +31,7 @@ def main() -> int:
         print("matplotlib not available in this environment", file=sys.stderr)
         return 1
 
-    series = defaultdict(list)  # code -> [(snr, ber)]
+    series = defaultdict(list)  # label -> [(snr, ber)]
     handles = [open(f) for f in args.csv] if args.csv else [sys.stdin]
     for fh in handles:
         for line in fh:
@@ -39,7 +39,15 @@ def main() -> int:
             if len(parts) < 6 or parts[0].lower() == "code":
                 continue
             code, snr, ber = parts[0], float(parts[1]), float(parts[5])
-            series[code].append((snr, ber))
+            label = code
+            if len(handles) > 1 and fh is not sys.stdin:
+                # disambiguate same-code curves from different files (e.g.
+                # impl/dtype variants) by the filename stem
+                from pathlib import Path
+
+                stem = Path(fh.name).stem.replace("waterfall_", "")
+                label = f"{code} [{stem}]" if stem.lower() != code.lower() else code
+            series[label].append((snr, ber))
 
     fig, ax = plt.subplots(figsize=(7, 5))
     for code, pts in sorted(series.items()):
