@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..codes.params import LDPCCode, get_code
 from ..ops.encoder import encode_bits
-from ..ops.minsum import make_ms_decoder
+from ..ops.minsum import MSResult, make_ms_decoder
 
 
 _INT_DTYPES = ("int8", "int16")
@@ -91,6 +91,34 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     raise ValueError(
         f"unknown decoder impl {impl!r} "
         "(ref|qc|layered|qc_i8|qc_i16|pallas_qc|pallas_layered)"
+    )
+
+
+def shard_map_decoder(decoder, mesh):
+    """Map a batched decoder over a 1-D 'batch' mesh with jax.shard_map.
+
+    The XLA decoder implementations partition under plain
+    `with_sharding_constraint` (GSPMD propagates the batch sharding through
+    every op), but a `pallas_call` is an opaque custom call to the
+    partitioner and would be REPLICATED on every device instead of sharded.
+    shard_map makes the data parallelism explicit: each device runs the
+    kernel on its local batch shard (including its own early-exit
+    while_loop — no cross-chip all-done sync), and the per-shard MSResults
+    concatenate along the batch axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    out_specs = MSResult(
+        success=P("batch"), iterations=P("batch"), bits=P("batch", None)
+    )
+    # check_vma=False: pallas_call's out_shape ShapeDtypeStructs carry no
+    # varying-across-mesh annotations, which the vma checker requires
+    return jax.shard_map(
+        decoder,
+        mesh=mesh,
+        in_specs=(P("batch", None),),
+        out_specs=out_specs,
+        check_vma=False,
     )
 
 
@@ -193,6 +221,9 @@ def make_trial_step(
 
         assert batch % mesh.devices.size == 0, (batch, mesh.devices.size)
         data_s = NamedSharding(mesh, P("batch", None))
+        if impl.startswith("pallas"):
+            # opaque to the GSPMD partitioner — map explicitly per device
+            decoder = shard_map_decoder(decoder, mesh)
 
     def step(key: jax.Array, sigma: jnp.ndarray) -> ChannelStats:
         kd, kn = jax.random.split(key)

@@ -60,6 +60,12 @@ def make_sharded_decoder(
     """
     code = get_code(code)
     decoder = _make_decoder(code, jnp.dtype(dtype), maxiters, alpha, impl)
+    if impl.startswith("pallas"):
+        # pallas_call is opaque to the GSPMD partitioner (it would be
+        # replicated, not sharded) — map it per device explicitly
+        from ..channel.awgn import shard_map_decoder
+
+        decoder = shard_map_decoder(decoder, mesh)
     in_s = NamedSharding(mesh, P("batch", None))
 
     def decode(llrs):

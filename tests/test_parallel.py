@@ -109,3 +109,28 @@ def test_sharded_decoder_impl_param():
     res_8 = make_sharded_decoder(c, mesh, jnp.int8, maxiters=30, impl="qc")(llrs)
     assert np.array_equal(np.asarray(res_1.bits), np.asarray(res_8.bits))
     assert np.array_equal(np.asarray(res_1.success), np.asarray(res_8.success))
+
+
+def test_shard_map_pallas_decoder_matches_unsharded():
+    """Pallas kernels are opaque to the GSPMD partitioner, so the mesh
+    paths wrap them in jax.shard_map (channel.awgn.shard_map_decoder).
+    Validate the exact production wrapper on the 8-CPU mesh with the
+    interpret-mode kernel: per-shard decode == unsharded decode."""
+    from labrador_ldpc_tpu.channel.awgn import shard_map_decoder
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+
+    c = get_code("TM1280")
+    mesh = make_batch_mesh()
+    rng = np.random.default_rng(13)
+    data = rng.integers(0, 256, (16, c.k // 8), dtype=np.uint8)
+    cw = np.asarray(encoder.encode(c, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * np.unpackbits(cw, axis=1).astype(np.float32)
+    llrs = jnp.asarray(tx + rng.normal(0, 0.5, tx.shape).astype(np.float32))
+
+    dec = make_ms_decoder_pallas_layered(c, jnp.float32, maxiters=10,
+                                         batch_tile=2, interpret=True)
+    res_1 = dec(llrs)
+    res_8 = jax.jit(shard_map_decoder(dec, mesh))(llrs)
+    assert np.array_equal(np.asarray(res_1.bits), np.asarray(res_8.bits))
+    assert np.array_equal(np.asarray(res_1.success), np.asarray(res_8.success))
+    assert np.array_equal(np.asarray(res_1.iterations), np.asarray(res_8.iterations))
