@@ -240,6 +240,15 @@ def make_ms_decoder_pallas_qc(
     keeps the O(1)-IR fallback.
     """
     code = get_code(code)
+    if code.submatrix_size < 128:
+        # small-M (TC) codes use the transposed sublane-roll kernel, which
+        # shares this factory's contract (bit-exact vs make_ms_decoder_qc
+        # for f32, saturating int semantics) — see ops/pallas_tc.py
+        from .pallas_tc import make_ms_decoder_pallas_tc_qc
+
+        return make_ms_decoder_pallas_tc_qc(
+            code, dtype, maxiters, alpha, batch_tile, interpret
+        )
     p = code.params
     in_dtype = dtype = jnp.dtype(dtype)
     is_int = dtype in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16))
@@ -647,6 +656,14 @@ def make_ms_decoder_pallas_layered(
     Returns fn(llrs: (B, n) dtype) -> MSResult.
     """
     code = get_code(code)
+    if code.submatrix_size < 128:
+        # small-M (TC) codes use the transposed sublane-roll kernel
+        # (bit-exact vs make_ms_decoder_layered for f32) — ops/pallas_tc.py
+        from .pallas_tc import make_ms_decoder_pallas_tc_layered
+
+        return make_ms_decoder_pallas_tc_layered(
+            code, dtype, maxiters, alpha, batch_tile, interpret
+        )
     p = code.params
     dtype = jnp.dtype(dtype)
     is_int = dtype in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16))

@@ -1,0 +1,525 @@
+"""VMEM-resident min-sum Pallas kernels for the SMALL-M (TC) codes.
+
+The TM kernels (ops/pallas_qc.py) put the batch on sublanes and the M
+nodes of a block on lanes, because TM submatrix sizes (128..2048) are
+lane-tile multiples. The TC codes have M = 16/32/64 — a (B, M) plane
+would waste most of the 128 lanes and every block permutation would be a
+sub-tile lane roll (Mosaic relayout city). This module flips the layout:
+**nodes on SUBLANES, batch on LANES** — exactly the node-major (M, B)
+layout the XLA QC decoders already use (qc_minsum.py) — so
+
+  * every TC sub-block is a pure cyclic rotation (HI | s only — the
+    TC prototypes contain no HP cells, codes/expand.py `qc_structure`),
+    i.e. a STATIC SUBLANE roll of an (M, B_tile) tile;
+  * the batch rides the full 128-wide lanes (B_tile a multiple of 128),
+    so every vector op is dense;
+  * M = 16/32/64 are sublane-tile multiples (8 for f32), so per-addend
+    and per-block slices of the stacked state planes are tile-aligned.
+
+As in pallas_qc.py, the grid tiles the batch and one grid step keeps the
+entire decode state for its codeword tile in VMEM scratch for the whole
+early-exiting iteration loop; HBM traffic per codeword is one LLR read
+and one hard-bit write, independent of iteration count.
+
+Algorithm and accumulation order are identical to the XLA decoders:
+`make_ms_decoder_pallas_tc_layered` is bit-exact vs
+`make_ms_decoder_layered` (qc_minsum.py) and
+`make_ms_decoder_pallas_tc_qc` (flooding) vs `make_ms_decoder_qc` —
+bits, success AND iteration counts — for f32. The reference algorithm
+is `decode_ms` (decoder.rs:347-475, self-corrected min-sum, Savin
+arXiv:0803.1090); the layered schedule is the documented divergence
+validated statistically (see qc_minsum.make_ms_decoder_layered).
+
+int8/int16 LLRs run the reference's saturating-arithmetic semantics
+(decoder.rs:42-55) as exact f32 clips, the same formulation as
+pallas_qc.py (its module docstring has the exactness argument).
+
+The caller-facing factories in pallas_qc.py auto-dispatch here for
+M < 128, so `make_ms_decoder_pallas_qc`/`_layered` cover all 9 codes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..codes.expand import qc_structure
+from ..codes.params import LDPCCode, get_code
+from .minsum import MSResult
+
+__all__ = ["make_ms_decoder_pallas_tc_qc", "make_ms_decoder_pallas_tc_layered"]
+
+
+def _default_batch_tile_tc(M: int) -> int:
+    """Lanes (codewords) per grid step. Measured on a v5e core (layered
+    f32, B=65536, pipelined protocol): 512 wins for all three TC codes
+    (TC128 9.4M, TC256 9.0M, TC512 7.1M cw/s; larger tiles lose to
+    VMEM/pipelining pressure and bt >= 4096 can fail to compile)."""
+    del M
+    return 512
+
+
+def _roll_fns(M: int):
+    """Static sublane-roll block permutations for (M, B) node-major tiles.
+    TC prototypes are pure rotations: edge (r*M + i, c*M + (i+s) % M), so
+    the check-side view of a var block is roll(x, -s) and the scatter back
+    is roll(x, +s) — identical to qc_minsum.perm_rows on axis 0."""
+
+    def fwd(x, perm):
+        sh = (-perm.shift) % M
+        return x if sh == 0 else pltpu.roll(x, sh, axis=0)
+
+    def inv(x, perm):
+        sh = perm.shift % M
+        return x if sh == 0 else pltpu.roll(x, sh, axis=0)
+
+    return fwd, inv
+
+
+def _check_code(code, dtype, alpha, static_int_err):
+    """Shared validation; returns (code, storage dtype, is_int, sat bounds)."""
+    code = get_code(code)
+    dtype = jnp.dtype(dtype)
+    is_int = dtype in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16))
+    sat_lo = sat_hi = None
+    if is_int:
+        if alpha is not None:
+            raise ValueError("the saturating int path does not support alpha")
+        sat_lo = float(jnp.iinfo(dtype).min)
+        sat_hi = float(jnp.iinfo(dtype).max)
+        dtype = jnp.dtype(jnp.float32)
+    elif dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(static_int_err)
+    s = qc_structure(code)
+    if s.m >= 128:
+        raise ValueError(
+            f"pallas tc decoder is the small-M path (M < 128); {code.name} "
+            f"has M={s.m} — use the pallas_qc kernels"
+        )
+    if any(perm.kind != "rot" for row in s.rows for perm in row):
+        raise ValueError("pallas tc decoder requires pure-rotation prototypes")
+    return code, dtype, is_int, sat_lo, sat_hi, s
+
+
+def _wrap_decode(build, n, V, B, dtype, transpose_in=True):
+    """Shared host-side wrapper: transpose to node-major, pad the batch to
+    a tile multiple, run the kernel, transpose back. Padded lanes decode
+    garbage that is sliced away (each grid step early-exits its own tile
+    independently, so they cannot slow the real lanes)."""
+
+    @jax.jit
+    def decode(llrs: jnp.ndarray) -> MSResult:
+        llrs = jnp.asarray(llrs, dtype)
+        assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
+        batch = llrs.shape[0]
+        pad = (-batch) % B
+        if pad:
+            llrs = jnp.concatenate([llrs, jnp.ones((pad, n), dtype)], axis=0)
+        bits_u8, done_f, iters = build(batch + pad)(llrs.T)
+        return MSResult(
+            success=done_f[0, :batch] > 0.0,
+            iterations=iters[0, :batch],
+            bits=bits_u8.T[:batch],
+        )
+
+    return decode
+
+
+def make_ms_decoder_pallas_tc_layered(
+    code: LDPCCode | str,
+    dtype=jnp.float32,
+    maxiters: int = 20,
+    alpha: float | None = None,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+):
+    """VMEM-resident row-layered self-corrected min-sum for M < 128 codes.
+
+    Same schedule, update rules, and accumulation order as
+    `make_ms_decoder_layered` (qc_minsum.py) — f32 is bit-exact against it
+    (bits/success/iterations). Returns fn(llrs: (B, n) dtype) -> MSResult.
+    """
+    code, dtype, is_int, sat_lo, sat_hi, s = _check_code(
+        code, dtype, alpha,
+        "pallas tc layered decoder supports float32/bfloat16/int8/int16",
+    )
+    p = code.params
+    M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
+    n, V = p.n, Cc * M
+    sumA = sum(len(r) for r in s.rows)
+    B = _default_batch_tile_tc(M) if batch_tile is None else batch_tile
+    BIG = 3.4e38
+    f32 = jnp.float32
+    alpha_c = None if alpha is None else float(alpha)
+    fwd, inv = _roll_fns(M)
+    row_off = [0]
+    for row in s.rows:
+        row_off.append(row_off[-1] + len(row))
+
+    def kernel(
+        llr_ref,  # (n, B) dtype VMEM block (node-major)
+        bits_ref,  # out: (V, B) uint8 hard bits 0/1
+        done_ref,  # out: (1, B) f32
+        iters_ref,  # out: (1, B) i32
+        us_ref,  # scratch: (sumA*M, B) dtype  check->var messages u
+        tps_ref,  # scratch: (sumA*M, B) dtype previous extrinsics t'
+        va_ref,  # scratch: (V, B) dtype posteriors (carried across iters)
+        frozen_ref,  # scratch: (V, B) f32 frozen hard bits
+        fdone_ref,  # scratch: (1, B) f32
+        fiters_ref,  # scratch: (1, B) i32
+    ):
+        fdone_ref[...] = jnp.zeros((1, B), f32)
+        fiters_ref[...] = jnp.full((1, B), maxiters, jnp.int32)
+        frozen_ref[...] = jnp.zeros((V, B), f32)
+        # posteriors initialized ONCE: the layered schedule carries va
+        # across iterations (qc_minsum.py make_ms_decoder_layered)
+        va_ref[:n, :] = llr_ref[...]
+        if V > n:  # punctured tail = 0 (decoder.rs:382-383)
+            va_ref[n:, :] = jnp.zeros((V - n, B), dtype)
+
+        def one_iteration(it, first):
+            """One layered iteration; `first` (Python bool) peels iteration
+            0 where u = t' = 0 (vacuous self-correction, va += inv(u)
+            directly). Bit-exact vs the general body run on zero state."""
+            for r, row in enumerate(s.rows):
+                # pass 1: extrinsics t = va - u with self-correction
+                ts = []
+                for a, perm in enumerate(row):
+                    e = row_off[r] + a
+                    c0 = perm.col * M
+                    g = fwd(va_ref[c0 : c0 + M, :].astype(f32), perm)
+                    if first:
+                        t = g
+                    else:
+                        t = g - us_ref[e * M : (e + 1) * M, :].astype(f32)
+                        if is_int:  # saturating sub (decoder.rs:46-48)
+                            t = jnp.clip(t, sat_lo, sat_hi)
+                        tp = tps_ref[e * M : (e + 1) * M, :].astype(f32)
+                        keep = jnp.logical_or((t < 0.0) == (tp < 0.0), tp == 0.0)
+                        t = jnp.where(keep, t, 0.0)  # (decoder.rs:420-426)
+                    ts.append(t)
+                # two smallest |t| + sign product across the layer's addends
+                m1 = jnp.full((M, B), sat_hi if is_int else BIG, f32)
+                m2 = jnp.full((M, B), sat_hi, f32) if is_int else jnp.zeros(
+                    (M, B), f32
+                )
+                sgc = jnp.zeros((M, B), f32)
+                a1s = []
+                for t in ts:
+                    if is_int:  # saturating abs: |-128| -> 127
+                        a1 = jnp.minimum(jnp.abs(t), sat_hi)
+                    else:
+                        a1 = jnp.abs(t.astype(dtype).astype(f32))
+                    a1s.append(a1)
+                    is_new = a1 < m1
+                    m2 = jnp.where(is_new, m1, jnp.minimum(m2, a1))
+                    m1 = jnp.minimum(m1, a1)
+                    sgc = sgc + (t < 0.0).astype(f32)
+                sg = sgc - 2.0 * jnp.floor(sgc * 0.5)  # mod 2
+                # pass 2: new u; posterior update va += perm_inv(u - u_old)
+                for a, perm in enumerate(row):
+                    e = row_off[r] + a
+                    c0 = perm.col * M
+                    t = ts[a]
+                    mag = jnp.where(a1s[a] == m1, m2, m1)
+                    if alpha_c is not None:
+                        mag = alpha_c * mag
+                    neg = jnp.logical_xor(sg != 0.0, t < 0.0)
+                    u = jnp.where(neg, -mag, mag)
+                    du = u if first else u - us_ref[e * M : (e + 1) * M, :].astype(f32)
+                    if is_int:  # saturate the posterior update
+                        va_ref[c0 : c0 + M, :] = jnp.clip(
+                            va_ref[c0 : c0 + M, :] + inv(du, perm), sat_lo, sat_hi
+                        )
+                    else:
+                        va_ref[c0 : c0 + M, :] += inv(du, perm).astype(dtype)
+                    us_ref[e * M : (e + 1) * M, :] = u.astype(dtype)
+                    tps_ref[e * M : (e + 1) * M, :] = t.astype(dtype)
+            # end-of-iteration syndrome over the FINAL posteriors
+            sign_blocks = [
+                (va_ref[c * M : (c + 1) * M, :].astype(f32) < 0.0).astype(f32)
+                for c in range(Cc)
+            ]
+            ok = jnp.ones((1, B), f32)
+            for r, row in enumerate(s.rows):
+                par = jnp.zeros((M, B), f32)
+                for perm in row:
+                    par = par + fwd(sign_blocks[perm.col], perm)
+                par2 = par - 2.0 * jnp.floor(par * 0.5)
+                ok = ok * jnp.min(1.0 - par2, axis=0, keepdims=True)
+            # ---- freeze converged codewords at this iteration ----
+            done = fdone_ref[...]
+            newly = ok * (1.0 - done)
+            signs = jnp.concatenate(sign_blocks, axis=0)  # reuse syndrome planes
+            frozen_ref[...] = jnp.where(newly > 0.0, signs, frozen_ref[...])
+            fiters_ref[...] = jnp.where(
+                newly > 0.0, jnp.full((1, B), 1, jnp.int32) * it, fiters_ref[...]
+            )
+            done = jnp.maximum(done, ok)
+            fdone_ref[...] = done
+            return done
+
+        done0 = one_iteration(jnp.int32(0), True)
+
+        def iter_body(carry):
+            it, _cont = carry
+            done = one_iteration(it, False)
+            cont = jnp.logical_and(it + 1 < maxiters, jnp.min(done) < 1.0)
+            return (it + 1, cont)
+
+        cont0 = jnp.logical_and(1 < maxiters, jnp.min(done0) < 1.0)
+        jax.lax.while_loop(lambda c: c[1], iter_body, (jnp.int32(1), cont0))
+        done = fdone_ref[...]
+        signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+        # Mosaic has no direct f32->u8 cast; values are exactly 0.0/1.0
+        bits_ref[...] = (
+            jnp.where(done > 0.0, frozen_ref[...], signs) > 0.0
+        ).astype(jnp.uint8)
+        done_ref[...] = done
+        iters_ref[...] = fiters_ref[...]
+
+    @functools.lru_cache(maxsize=8)
+    def build(batch: int):
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(batch // B,),
+            in_specs=[
+                pl.BlockSpec((n, B), lambda i: (0, i), memory_space=pltpu.VMEM)
+            ],
+            out_specs=[
+                pl.BlockSpec((V, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((sumA * M, B), dtype),
+                pltpu.VMEM((sumA * M, B), dtype),
+                pltpu.VMEM((V, B), dtype),
+                pltpu.VMEM((V, B), f32),
+                pltpu.VMEM((1, B), f32),
+                pltpu.VMEM((1, B), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((V, batch), jnp.uint8),
+                jax.ShapeDtypeStruct((1, batch), f32),
+                jax.ShapeDtypeStruct((1, batch), jnp.int32),
+            ],
+            grid_spec=gs,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
+
+    return _wrap_decode(build, n, V, B, dtype)
+
+
+def make_ms_decoder_pallas_tc_qc(
+    code: LDPCCode | str,
+    dtype=jnp.float32,
+    maxiters: int = 20,
+    alpha: float | None = None,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+):
+    """VMEM-resident FLOODING self-corrected min-sum for M < 128 codes.
+
+    Same schedule, update rules, and accumulation order as
+    `make_ms_decoder_qc` (qc_minsum.py) — f32 is bit-exact against it
+    (bits/success/iterations); this is the reference's own flooding
+    schedule (decoder.rs:347-475). Returns fn(llrs) -> MSResult.
+    """
+    code, dtype, is_int, sat_lo, sat_hi, s = _check_code(
+        code, dtype, alpha,
+        "pallas tc qc decoder supports float32/bfloat16/int8/int16",
+    )
+    p = code.params
+    M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
+    n, V = p.n, Cc * M
+    sumA = sum(len(r) for r in s.rows)
+    B = _default_batch_tile_tc(M) if batch_tile is None else batch_tile
+    BIG = 3.4e38
+    f32 = jnp.float32
+    alpha_c = None if alpha is None else float(alpha)
+    fwd, inv = _roll_fns(M)
+
+    def u_from(v, m1, m2, sg):
+        """Check->var message from stats (decoder.rs:388-405); all f32."""
+        av = jnp.abs(v)
+        mag = jnp.where(av == m1, m2, m1)
+        if alpha_c is not None:
+            mag = alpha_c * mag
+        neg = jnp.logical_xor(sg != 0.0, v < 0.0)
+        return jnp.where(neg, -mag, mag)
+
+    def kernel(
+        llr_ref,  # (n, B) dtype VMEM block (node-major)
+        bits_ref,  # out: (V, B) uint8
+        done_ref,  # out: (1, B) f32
+        iters_ref,  # out: (1, B) i32
+        vs_ref,  # scratch: (sumA*M, B) dtype  var->check messages
+        m1_ref,  # scratch: (R*M, B) dtype
+        m2_ref,  # scratch: (R*M, B) dtype
+        sg_ref,  # scratch: (R*M, B) f32 (0/1 sign products)
+        va_ref,  # scratch: (V, B) dtype posteriors
+        frozen_ref,  # scratch: (V, B) f32
+        fdone_ref,  # scratch: (1, B) f32
+        fiters_ref,  # scratch: (1, B) i32
+    ):
+        # NO zero-init of vs/m1/m2/sg: iteration 0 is PEELED with the
+        # reference's zero-state shortcut (u == 0 everywhere), which writes
+        # every scratch plane before anything reads them.
+        fdone_ref[...] = jnp.zeros((1, B), f32)
+        fiters_ref[...] = jnp.full((1, B), maxiters, jnp.int32)
+        frozen_ref[...] = jnp.zeros((V, B), f32)
+
+        def one_iteration(it, first):
+            """One flooding iteration; `first` specializes the peeled
+            iteration 0 (sweep 1 degenerates to va = llr; sweep 2's u is 0
+            so nv = g and self-correction always keeps)."""
+            # ---- sweep 1: posteriors from llr + all check messages ----
+            va_ref[:n, :] = llr_ref[...]
+            if V > n:  # punctured tail = 0 (decoder.rs:382-383)
+                va_ref[n:, :] = jnp.zeros((V - n, B), dtype)
+            if not first:
+                e = 0
+                for r, row in enumerate(s.rows):
+                    r0 = r * M
+                    m1o = m1_ref[r0 : r0 + M, :].astype(f32)
+                    m2o = m2_ref[r0 : r0 + M, :].astype(f32)
+                    sgo = sg_ref[r0 : r0 + M, :]
+                    for perm in row:
+                        u = u_from(
+                            vs_ref[e * M : (e + 1) * M, :].astype(f32),
+                            m1o, m2o, sgo,
+                        )
+                        c0 = perm.col * M
+                        if is_int:  # saturate every add (decoder.rs:46-48)
+                            va_ref[c0 : c0 + M, :] = jnp.clip(
+                                va_ref[c0 : c0 + M, :] + inv(u, perm),
+                                sat_lo, sat_hi,
+                            )
+                        else:
+                            va_ref[c0 : c0 + M, :] += inv(u, perm).astype(dtype)
+                        e += 1
+            # ---- sweep 2: per-row streamed stats + self-corrected v ----
+            ok = jnp.ones((1, B), f32)
+            e = 0
+            for r, row in enumerate(s.rows):
+                r0 = r * M
+                if not first:
+                    m1o = m1_ref[r0 : r0 + M, :].astype(f32)
+                    m2o = m2_ref[r0 : r0 + M, :].astype(f32)
+                    sgo = sg_ref[r0 : r0 + M, :]
+                m1n = jnp.full((M, B), sat_hi if is_int else BIG, f32)
+                m2n = jnp.full((M, B), sat_hi, f32) if is_int else jnp.zeros(
+                    (M, B), f32
+                )
+                sgc = jnp.zeros((M, B), f32)
+                par = jnp.zeros((M, B), f32)
+                for perm in row:
+                    c0 = perm.col * M
+                    g = fwd(va_ref[c0 : c0 + M, :].astype(f32), perm)
+                    if first:
+                        nv = g
+                    else:
+                        v = vs_ref[e * M : (e + 1) * M, :].astype(f32)
+                        u = u_from(v, m1o, m2o, sgo)
+                        nv = g - u
+                        if is_int:  # saturating sub (decoder.rs:46-48)
+                            nv = jnp.clip(nv, sat_lo, sat_hi)
+                        # self-correction (decoder.rs:420-426)
+                        keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
+                        nv = jnp.where(keep, nv, 0.0)
+                    vs_ref[e * M : (e + 1) * M, :] = nv.astype(dtype)
+                    par = par + (g < 0.0).astype(f32)
+                    if is_int:  # saturating abs: |-128| -> 127
+                        a1 = jnp.minimum(jnp.abs(nv), sat_hi)
+                    else:
+                        a1 = jnp.abs(nv.astype(dtype).astype(f32))
+                    is_new = a1 < m1n
+                    m2n = jnp.where(is_new, m1n, jnp.minimum(m2n, a1))
+                    m1n = jnp.minimum(m1n, a1)
+                    sgc = sgc + (nv < 0.0).astype(f32)
+                    e += 1
+                m1_ref[r0 : r0 + M, :] = m1n.astype(dtype)
+                m2_ref[r0 : r0 + M, :] = m2n.astype(dtype)
+                sg_ref[r0 : r0 + M, :] = sgc - 2.0 * jnp.floor(sgc * 0.5)  # mod 2
+                par2 = par - 2.0 * jnp.floor(par * 0.5)
+                ok = ok * jnp.min(1.0 - par2, axis=0, keepdims=True)
+            # ---- freeze converged codewords at this iteration ----
+            done = fdone_ref[...]
+            newly = ok * (1.0 - done)
+            signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+            frozen_ref[...] = jnp.where(newly > 0.0, signs, frozen_ref[...])
+            fiters_ref[...] = jnp.where(
+                newly > 0.0, jnp.full((1, B), 1, jnp.int32) * it, fiters_ref[...]
+            )
+            done = jnp.maximum(done, ok)
+            fdone_ref[...] = done
+            return done
+
+        done0 = one_iteration(jnp.int32(0), True)
+
+        def iter_body(carry):
+            it, _cont = carry
+            done = one_iteration(it, False)
+            cont = jnp.logical_and(it + 1 < maxiters, jnp.min(done) < 1.0)
+            return (it + 1, cont)
+
+        cont0 = jnp.logical_and(1 < maxiters, jnp.min(done0) < 1.0)
+        jax.lax.while_loop(lambda c: c[1], iter_body, (jnp.int32(1), cont0))
+        done = fdone_ref[...]
+        signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+        bits_ref[...] = (
+            jnp.where(done > 0.0, frozen_ref[...], signs) > 0.0
+        ).astype(jnp.uint8)
+        done_ref[...] = done
+        iters_ref[...] = fiters_ref[...]
+
+    @functools.lru_cache(maxsize=8)
+    def build(batch: int):
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(batch // B,),
+            in_specs=[
+                pl.BlockSpec((n, B), lambda i: (0, i), memory_space=pltpu.VMEM)
+            ],
+            out_specs=[
+                pl.BlockSpec((V, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((sumA * M, B), dtype),
+                pltpu.VMEM((R * M, B), dtype),
+                pltpu.VMEM((R * M, B), dtype),
+                pltpu.VMEM((R * M, B), f32),
+                pltpu.VMEM((V, B), dtype),
+                pltpu.VMEM((V, B), f32),
+                pltpu.VMEM((1, B), f32),
+                pltpu.VMEM((1, B), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((V, batch), jnp.uint8),
+                jax.ShapeDtypeStruct((1, batch), f32),
+                jax.ShapeDtypeStruct((1, batch), jnp.int32),
+            ],
+            grid_spec=gs,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
+
+    return _wrap_decode(build, n, V, B, dtype)

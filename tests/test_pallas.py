@@ -146,8 +146,8 @@ def test_pallas_qc_rejects_bad_configs():
         make_ms_decoder_pallas_qc("TM2048", jnp.int8, static_tables=False)
     with pytest.raises(ValueError):  # no alpha on the saturating path
         make_ms_decoder_pallas_qc("TM2048", jnp.int8, alpha=0.8)
-    with pytest.raises(ValueError):
-        make_ms_decoder_pallas_qc("TC128", jnp.float32)  # M=16, not lane-tile
+    # TC codes no longer raise: M<128 dispatches to the transposed
+    # sublane-roll kernel (ops/pallas_tc.py, tests/test_pallas_tc.py)
 
 
 @pytest.mark.parametrize("dtype", [jnp.int8, jnp.int16], ids=["i8", "i16"])
