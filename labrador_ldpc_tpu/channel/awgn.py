@@ -36,9 +36,9 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     "qc" (roll-based XLA; int dtypes route to the saturating QC int path),
     "layered" (row-layered schedule), "qc_i8"/"qc_i16" (explicit saturating
     QC int paths), or "pallas_qc"/"pallas_layered" (VMEM-resident fused
-    kernels, all six TM codes (M % 128 == 0) — the fastest paths on real
-    TPU hardware; int8/int16 run the saturating semantics via exact f32
-    clips).
+    kernels, all 9 codes — TM via lane rolls, TC via the transposed
+    sublane-roll kernels — the fastest paths on real TPU hardware;
+    int8/int16 run the saturating semantics via exact f32 clips).
 
     Raises ValueError with an explicit message on unsupported dtype/impl
     combinations instead of failing deep inside the decoder builders.
