@@ -192,16 +192,14 @@ def make_bf_decoder(code: LDPCCode | str, maxiters: int = 20):
 @lru_cache(maxsize=None)
 def _cached_bf(code: LDPCCode, maxiters: int):
     # fastest bit-exact implementation for the backend: the fused Pallas
-    # kernel on TPU for the TM codes (3.3-14.6x, ops/pallas_bf.py), the QC
-    # roll-based XLA path otherwise (itself 1.6x the gather formulation on
-    # the large TM codes). All three return identical bits/success/iters.
+    # kernels on TPU (ops/pallas_bf.py for the TM codes, 3.3-14.6x; the
+    # transposed ops/pallas_tc.py kernel for TC), the QC roll-based XLA
+    # path otherwise (itself 1.6x the gather formulation on the large TM
+    # codes). All implementations return identical bits/success/iters.
     if jax.default_backend() == "tpu":
         from .pallas_bf import make_bf_decoder_pallas
 
-        try:
-            return make_bf_decoder_pallas(code, maxiters)
-        except ValueError:  # TC codes: M < 128
-            pass
+        return make_bf_decoder_pallas(code, maxiters)
     return make_bf_decoder_qc(code, maxiters)
 
 

@@ -22,9 +22,11 @@ erased-neighbor counts fold to compile-time (1, M) constants and the pass
 costs one roll+add sweep for parity plus one for the vote scatter — the
 same shape as a bit-flip iteration. (A first cut ran the XLA gather-based
 erasure pass outside the kernel; it dominated end-to-end time, 157k cw/s
-vs this version's measured rate.) Supported: lane-tile-multiple submatrix
-sizes (M % 128 == 0 — all six TM codes). TC codes (M <= 64) stay on the
-XLA QC path, which is already device-limited at 5.8-8.9M cw/s.
+vs this version's measured rate.) This file lowers the lane-tile-multiple
+submatrix sizes directly (M % 128 == 0 — all six TM codes); for the TC
+codes (M <= 64) the factory dispatches to the transposed node-major
+kernel in ops/pallas_tc.py, so `make_bf_decoder_pallas` covers all 9
+codes like the min-sum factories.
 """
 
 from __future__ import annotations
@@ -81,10 +83,18 @@ def make_bf_decoder_pallas(
     p = code.params
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
-    if M < 128 or M % 128:
+    if M < 128:
+        # TC codes: transposed node-major kernel (sublane rolls) — see
+        # ops/pallas_tc.py. Same dispatch pattern as the min-sum factories.
+        from .pallas_tc import make_bf_decoder_pallas_tc
+
+        return make_bf_decoder_pallas_tc(
+            code, maxiters=maxiters, batch_tile=batch_tile, interpret=interpret
+        )
+    if M % 128:
         raise ValueError(
             f"pallas bf decoder needs a lane-tile-multiple submatrix size "
-            f"(M >= 128, M %% 128 == 0); {code.name} has M={M} — use "
+            f"(M %% 128 == 0); {code.name} has M={M} — use "
             f"make_bf_decoder_qc"
         )
     n, V = p.n, Cc * M

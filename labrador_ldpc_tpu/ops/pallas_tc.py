@@ -51,7 +51,11 @@ from ..codes.expand import qc_structure
 from ..codes.params import LDPCCode, get_code
 from .minsum import MSResult
 
-__all__ = ["make_ms_decoder_pallas_tc_qc", "make_ms_decoder_pallas_tc_layered"]
+__all__ = [
+    "make_ms_decoder_pallas_tc_qc",
+    "make_ms_decoder_pallas_tc_layered",
+    "make_bf_decoder_pallas_tc",
+]
 
 
 def _default_batch_tile_tc(M: int) -> int:
@@ -523,3 +527,163 @@ def make_ms_decoder_pallas_tc_qc(
         )
 
     return _wrap_decode(build, n, V, B, dtype)
+
+
+def make_bf_decoder_pallas_tc(
+    code: LDPCCode | str,
+    maxiters: int = 20,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+):
+    """VMEM-resident Gallager bit-flip decoder for the M < 128 (TC) codes.
+
+    Same flip-all-at-max algorithm as the reference `decode_bf`
+    (decoder.rs:243-301) in the QC roll formulation of
+    `ops.bitflip.make_bf_decoder_qc`, and bit-exact against it (integer
+    counts carried in f32 lanes are exact; the flip rule is deterministic).
+    The TM analog is `ops.pallas_bf.make_bf_decoder_pallas`; this is its
+    transposed (node-major) small-M twin: bits live as (V, B) planes with
+    nodes on sublanes and the batch on the 128-wide lanes, so every block
+    permutation is a static SUBLANE roll — the same layout argument as the
+    min-sum kernels above. The TC codes are unpunctured (no HP cells, no
+    erasure preprocessor), so the kernel is just the iteration loop: per
+    block row one roll+add sweep for parity and one for the violation
+    scatter, with the whole per-tile state (2 (V, B) f32 planes) resident
+    in VMEM across the early-exiting `while_loop`.
+
+    Returns fn(hard_bits: (B, n) any int dtype) -> BFResult.
+    """
+    from .bitflip import BFResult
+
+    code = get_code(code)
+    p = code.params
+    s = qc_structure(code)
+    M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
+    if M >= 128:
+        raise ValueError(
+            f"pallas tc bf decoder is the small-M path (M < 128); "
+            f"{code.name} has M={M} — use make_bf_decoder_pallas"
+        )
+    if any(perm.kind != "rot" for row in s.rows for perm in row):
+        raise ValueError("pallas tc bf decoder requires pure-rotation prototypes")
+    assert p.punctured_bits == 0, "TC codes are unpunctured"
+    n, V = p.n, Cc * M
+    assert V == n
+    # Measured tile defaults (v5e, maxiters=50, 3-bit-flip protocol,
+    # B=32768 pipelined): TC128 bt=1024 6.6M cw/s (vs XLA qc 4.4M),
+    # TC256 bt=512 8.5M (XLA 3.4M), TC512 bt=1024 7.4M (XLA 1.1M).
+    B = (512 if M == 32 else 1024) if batch_tile is None else batch_tile
+    f32 = jnp.float32
+    fwd, inv = _roll_fns(M)
+
+    def kernel(
+        in_ref,  # (V, B) f32 hard bits 0/1
+        bits_ref,  # out: (V, B) uint8
+        done_ref,  # out: (1, B) f32
+        iters_ref,  # out: (1, B) i32
+        b_ref,  # scratch: (V, B) f32 working bits
+        viol_ref,  # scratch: (V, B) f32 violation counts
+        fdone_ref,  # scratch: (1, B) f32
+        fiters_ref,  # scratch: (1, B) i32
+    ):
+        fdone_ref[...] = jnp.zeros((1, B), f32)
+        fiters_ref[...] = jnp.full((1, B), maxiters, jnp.int32)
+        b_ref[...] = in_ref[...]
+
+        def one_iteration(it):
+            # check parities per block row: f32 adds of rolled bit planes,
+            # one mod-2 per row; then scatter the parity back to the row's
+            # variables as violation counts (decoder.rs:263-287)
+            viol_ref[...] = jnp.zeros((V, B), f32)
+            for r in range(R):
+                par = None
+                for perm in s.rows[r]:
+                    c0 = perm.col * M
+                    g = fwd(b_ref[c0 : c0 + M, :], perm)
+                    par = g if par is None else par + g
+                par = par - 2.0 * jnp.floor(par * 0.5)  # mod 2
+                for perm in s.rows[r]:
+                    c0 = perm.col * M
+                    viol_ref[c0 : c0 + M, :] += inv(par, perm)
+            # per-codeword max violation over all V variables (sublanes)
+            mx = jnp.max(viol_ref[...], axis=0, keepdims=True)  # (1, B)
+            ok = jnp.where(mx == 0.0, 1.0, 0.0)
+            # flip ALL variables at the max (decoder.rs:288-296); converged
+            # codewords have mx == 0 and freeze naturally
+            flip = jnp.logical_and(viol_ref[...] == mx, mx > 0.0)
+            b_ref[...] = jnp.where(flip, 1.0 - b_ref[...], b_ref[...])
+            done = fdone_ref[...]
+            newly = ok * (1.0 - done)
+            fiters_ref[...] = jnp.where(
+                newly > 0.0, jnp.full((1, B), 1, jnp.int32) * it, fiters_ref[...]
+            )
+            done = jnp.maximum(done, ok)
+            fdone_ref[...] = done
+            return done
+
+        def iter_body(carry):
+            it, _cont = carry
+            done = one_iteration(it)
+            cont = jnp.logical_and(it + 1 < maxiters, jnp.min(done) < 1.0)
+            return (it + 1, cont)
+
+        jax.lax.while_loop(
+            lambda c: c[1], iter_body, (jnp.int32(0), jnp.bool_(maxiters > 0))
+        )
+        bits_ref[...] = (b_ref[...] > 0.0).astype(jnp.uint8)
+        done_ref[...] = fdone_ref[...]
+        iters_ref[...] = fiters_ref[...]
+
+    @functools.lru_cache(maxsize=8)
+    def build(batch: int):
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(batch // B,),
+            in_specs=[
+                pl.BlockSpec((V, B), lambda i: (0, i), memory_space=pltpu.VMEM)
+            ],
+            out_specs=[
+                pl.BlockSpec((V, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((V, B), f32),
+                pltpu.VMEM((V, B), f32),
+                pltpu.VMEM((1, B), f32),
+                pltpu.VMEM((1, B), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((V, batch), jnp.uint8),
+                jax.ShapeDtypeStruct((1, batch), f32),
+                jax.ShapeDtypeStruct((1, batch), jnp.int32),
+            ],
+            grid_spec=gs,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
+
+    @jax.jit
+    def decode(hard_bits: jnp.ndarray) -> BFResult:
+        assert hard_bits.ndim == 2 and hard_bits.shape[1] == n, (
+            f"hard_bits must be (B, {n})"
+        )
+        batch = hard_bits.shape[0]
+        planes = jnp.asarray(hard_bits, f32).T
+        pad = (-batch) % B
+        if pad:
+            # all-zero pad codewords satisfy every check and exit immediately
+            planes = jnp.concatenate([planes, jnp.zeros((V, pad), f32)], axis=1)
+        bits_u8, done_f, iters = build(batch + pad)(planes)
+        return BFResult(
+            success=done_f[0, :batch] > 0.0,
+            iterations=iters[0, :batch],
+            bits=bits_u8.T[:batch],
+        )
+
+    return decode

@@ -27,11 +27,14 @@ def _noisy_fixture(name, B, seed, max_flips=6):
     return code, cw, rx
 
 
-@pytest.mark.parametrize("name", ["TM1280", "TM1536", "TM2048", "TM8192"])
+@pytest.mark.parametrize(
+    "name", ["TM1280", "TM1536", "TM2048", "TM8192", "TC128", "TC256", "TC512"]
+)
 def test_pallas_bf_matches_qc_xla(name):
     """Random 1-6 bit flips: bits/success/iterations identical to the QC
-    XLA decoder, including the in-kernel erasure voting pass (all TM codes
-    are punctured, so every case exercises it)."""
+    XLA decoder. TM codes exercise the in-kernel erasure voting pass
+    (all TM codes are punctured); TC codes exercise the transposed
+    node-major kernel (ops/pallas_tc.py) via the factory dispatch."""
     code, _, rx = _noisy_fixture(name, 6, 11)
     r_p = make_bf_decoder_pallas(code, maxiters=20, batch_tile=2,
                                  interpret=True)(jnp.asarray(rx))
@@ -88,6 +91,20 @@ def test_pallas_bf_batch_padding():
                                   np.asarray(r_q.iterations))
 
 
-def test_pallas_bf_rejects_small_m():
-    with pytest.raises(ValueError, match="lane-tile"):
-        make_bf_decoder_pallas("TC128")
+def test_pallas_bf_small_m_dispatches_to_tc_kernel():
+    """M < 128 routes to the transposed TC kernel; heavy corruption mixes
+    converged/failed lanes and must still match the XLA decoder exactly."""
+    code, cw, rx = _noisy_fixture("TC256", 8, 31, max_flips=2)
+    rng = np.random.default_rng(37)
+    for i in range(0, 8, 2):  # corrupt half the batch beyond repair
+        idx = rng.choice(code.n, size=60, replace=False)
+        rx[i, idx] ^= 1
+    r_p = make_bf_decoder_pallas(code, maxiters=8, batch_tile=4,
+                                 interpret=True)(jnp.asarray(rx))
+    r_q = make_bf_decoder_qc(code, maxiters=8)(jnp.asarray(rx))
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_q.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_q.success))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_q.iterations))
+    assert not bool(np.asarray(r_p.success).all())
+    assert bool(np.asarray(r_p.success).any())
