@@ -256,8 +256,14 @@ def make_ms_decoder(
 
 
 @lru_cache(maxsize=None)
-def _cached_decoder(code: LDPCCode, dtype_name: str, maxiters: int, alpha):
-    return make_ms_decoder(code, jnp.dtype(dtype_name), maxiters, alpha)
+def _cached_decoder(code: LDPCCode, dtype_name: str, maxiters: int, alpha, impl):
+    if impl == "ref":
+        return make_ms_decoder(code, jnp.dtype(dtype_name), maxiters, alpha)
+    # every other impl routes through the shared registry (lazy import:
+    # channel.awgn imports this module)
+    from ..channel.awgn import _make_decoder
+
+    return _make_decoder(code, jnp.dtype(dtype_name), maxiters, alpha, impl)
 
 
 def decode_ms(
@@ -265,9 +271,18 @@ def decode_ms(
     llrs: jnp.ndarray,
     maxiters: int = 20,
     alpha: float | None = None,
+    impl: str = "ref",
 ) -> MSResult:
     """Convenience batched decode; the compiled decoder is cached per
-    (code, dtype, maxiters, alpha)."""
+    (code, dtype, maxiters, alpha, impl).
+
+    `impl` selects the implementation (default "ref": the reference-order
+    decoder, bit-exact vs the scalar oracle for every dtype). The fast
+    production paths are "qc"/"layered" (gather-free XLA) and
+    "pallas_qc"/"pallas_layered" (VMEM-resident fused TPU kernels, all
+    nine codes) — same decode outcomes, validated statistically (see
+    channel.awgn._make_decoder for the full matrix and dtype rules).
+    """
     code = get_code(code)
     dtype_name = str(jnp.asarray(llrs).dtype)
-    return _cached_decoder(code, dtype_name, maxiters, alpha)(llrs)
+    return _cached_decoder(code, dtype_name, maxiters, alpha, impl)(llrs)

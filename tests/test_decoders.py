@@ -258,3 +258,29 @@ def test_bf_qc_matches_gather_impl():
         np.testing.assert_array_equal(np.asarray(r1.bits), np.asarray(r2.bits))
         np.testing.assert_array_equal(np.asarray(r1.success), np.asarray(r2.success))
         np.testing.assert_array_equal(np.asarray(r1.iterations), np.asarray(r2.iterations))
+
+
+@pytest.mark.parametrize("impl", ["qc", "layered", "pallas_layered"])
+def test_decode_ms_impl_routing(impl):
+    """decode_ms(impl=...) routes through the shared implementation
+    registry: fast paths recover the reference 3-bit-flip scenario with
+    decoded bits identical to the default reference-order impl."""
+    import jax
+
+    if impl.startswith("pallas") and jax.default_backend() != "tpu":
+        pytest.skip("pallas impls compile only on TPU (interpret mode is "
+                    "exercised by tests/test_pallas*.py)")
+    c = get_code("TC512")
+    cw = np.asarray(encoder.encode(c, _tx(c, 2)))
+    rx = _corrupt(cw)
+    llrs = convert.hard_to_llrs(jnp.asarray(rx), jnp.float32)
+    r_ref = minsum.decode_ms(c, llrs, maxiters=50)
+    r_fast = minsum.decode_ms(c, llrs, maxiters=50, impl=impl)
+    assert bool(r_fast.success.all())
+    np.testing.assert_array_equal(np.asarray(r_fast.bits), np.asarray(r_ref.bits))
+
+
+def test_decode_ms_impl_rejects_bad_combo():
+    llrs = jnp.zeros((2, 512), jnp.int32)
+    with pytest.raises(ValueError, match="int32"):
+        minsum.decode_ms("TC512", llrs, impl="qc")
