@@ -157,6 +157,34 @@ def bench_all(codes, impls, base_batch, reps, results):
             t = _timeit(lambda: bfp(bits), reps)
             record("decode_bf[pallas]", name, batch / t, "cw/s", maxiters=50)
 
+        # --- steady-state bf per-iteration rate ----------------------------
+        # uniform-random bits (almost) never satisfy all checks, so the
+        # batch runs the fixed budget — the fixture-independent bf kernel
+        # metric, mirroring ms_iter below. (Punctured codes also pay the
+        # one-time in-path erasure pass; it is part of every real decode.)
+        bf_iters = 20
+        rand_bits = jax.device_put(
+            jnp.asarray(rng.integers(0, 2, (batch, code.n)), jnp.uint8))
+        for label, mk in (
+            ("bf_iter", lambda: bitflip.make_bf_decoder_qc(code, bf_iters)),
+            ("bf_iter[pallas]",
+             lambda: make_bf_decoder_pallas(code, bf_iters)),
+        ):
+            try:
+                dec = mk()
+                res = dec(rand_bits)
+                _sync(res)
+            except Exception as e:  # noqa: BLE001 - report and continue
+                print(f"{label} {name}: SKIP ({type(e).__name__})")
+                continue
+            conv = float(np.asarray(res.success).mean())
+            if conv > 0.05:
+                print(f"{label} {name}: SKIP (random bits converged {conv:.0%})")
+                continue
+            t = _timeit(lambda: dec(rand_bits), reps)
+            record(label, name, batch * bf_iters / t, "cw_iter/s",
+                   maxiters=bf_iters)
+
         # --- decode_ms variants (benches/decode.rs:39-71) ------------------
         for impl, dtype_name in impls:
             dtype = jnp.dtype(dtype_name)
