@@ -20,12 +20,6 @@ def _cmd_waterfall(args) -> int:
 
     # validate dtype/impl compatibility up front with a clear CLI error
     # (the decoder factories raise too, but argparse errors are friendlier)
-    int_dtypes = {"int8", "int16"}
-    if args.impl == "layered" and args.dtype in int_dtypes:
-        raise SystemExit(
-            "error: --impl layered supports float dtypes only "
-            "(use pallas_layered for saturating int LLRs)"
-        )
     if args.impl == "qc_i8" and args.dtype != "int8":
         raise SystemExit("error: --impl qc_i8 requires --dtype int8")
     if args.impl == "qc_i16" and args.dtype != "int16":

@@ -40,6 +40,12 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     sublane-roll kernels — the fastest paths on real TPU hardware;
     int8/int16 run the saturating semantics via exact f32 clips).
 
+    Dtype guidance: f32 is the production dtype. bf16 is supported but
+    measured DOMINATED by f32 inside the Pallas kernels (15-25% slower on
+    the heavy TM codes; see ops/pallas_qc._default_batch_tile); int8/int16
+    match the reference's saturating arithmetic for quantized-LLR front
+    ends.
+
     Raises ValueError with an explicit message on unsupported dtype/impl
     combinations instead of failing deep inside the decoder builders.
     """
@@ -68,8 +74,13 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
 
         return make_ms_decoder_qc(code, dtype, maxiters, alpha)
     if impl == "layered":
-        if is_int:
-            raise ValueError("layered decoder supports float dtypes; use impl='qc'")
+        if dtype.name == "int32":
+            raise ValueError(
+                "layered decoder supports float32/bfloat16/float64/int8/int16; "
+                "use impl='ref' for int32"
+            )
+        if is_int and alpha is not None:
+            raise ValueError("the saturating int layered path does not support alpha")
         from ..ops.qc_minsum import make_ms_decoder_layered
 
         return make_ms_decoder_layered(code, dtype, maxiters, alpha)
@@ -259,6 +270,8 @@ def make_two_stage_decoder(
     maxiters_rescue: int = 100,
     dtype=jnp.bfloat16,
     rescue_dtype=jnp.float32,
+    fast_impl: str = "layered",
+    rescue_impl: str = "qc",
 ):
     """Production two-stage decode: layered fast pass + flooding rescue.
 
@@ -270,14 +283,20 @@ def make_two_stage_decoder(
     failure_rate * batch). Returns fn(llrs: (B, n)) -> MSResult with
     combined results.
 
+    `fast_impl`/`rescue_impl` select the stage decoders through the shared
+    `_make_decoder` registry; on real TPU use
+    fast_impl="pallas_layered", rescue_impl="pallas_qc" to pair the fused
+    VMEM-resident kernels (measured vs the plain layered kernel in
+    benchmarks/results.jsonl, `two_stage` rows).
+
     This is a host-orchestrated harness utility (two jit dispatches, data-
     dependent batch), not a jittable op.
     """
-    from ..ops.qc_minsum import make_ms_decoder_layered, make_ms_decoder_qc
-
     code = get_code(code)
-    fast = make_ms_decoder_layered(code, dtype, maxiters_fast)
-    rescue = make_ms_decoder_qc(code, rescue_dtype, maxiters_rescue)
+    fast = _make_decoder(code, jnp.dtype(dtype), maxiters_fast, None, fast_impl)
+    rescue = _make_decoder(
+        code, jnp.dtype(rescue_dtype), maxiters_rescue, None, rescue_impl
+    )
 
     def decode(llrs):
         import numpy as np

@@ -151,10 +151,12 @@ def _static_perm_fns(M: int):
         phs = [perm.phis[(t - perm.theta) % 4] % q for t in range(4)]
         return _masked(x, srcs, phs)
 
-    # Measured on v5e (TM1280/TM1536, layered, B=32768): masked full-width
-    # rolls beat slice+concat only at M=128 (2.31M vs 1.75M cw/s); at
-    # M=256 the 64-lane slices already lower well and masking loses
-    # (1.79M vs 3.07M). Gate accordingly.
+    # Measured on v5e (TM1280/TM1536, layered, B=32768, the steady-state
+    # tile-sweep probe of tools/bench_pallas_qc.py — absolute numbers are
+    # probe-protocol-specific, only the variant ratios matter): masked
+    # full-width rolls beat slice+concat only at M=128 (2.31M vs 1.75M
+    # cw/s); at M=256 the 64-lane slices already lower well and masking
+    # loses (1.79M vs 3.07M). Gate accordingly.
     if M == 128:
         return fwd_perm_m, inv_perm_m
     return fwd_perm_s, inv_perm_s
@@ -162,9 +164,12 @@ def _static_perm_fns(M: int):
 
 def _default_batch_tile(M: int, sumA: int) -> int:
     """Per-code batch-tile defaults, measured on a v5e core (layered f32,
-    B=32768/16384, pipelined protocol — see STATUS.md):
+    B=32768/16384, batch-tile sweep protocol: tools/bench_pallas_qc.py
+    steady-state probe; the absolute numbers differ from results.jsonl's
+    bench_suite rows, which time 3-bit-flip early-exit decodes — only the
+    RATIOS between tile candidates matter here):
 
-      M=128  (TM1280): 128  (2.55M cw/s; 64: 0.7M, 256: 2.31M)
+      M=128  (TM1280): 128  (probe 2.55M cw/s; 64: 0.7M, 256: 2.31M)
       M=256  (TM1536): 512  (3.07M; 256: 2.76M)
       M=512 light (TM2048, 15 addends): 256  (7.80M; 64: 3.88M, 512: 5.87M)
       M=512 heavy (TM5120, 39 addends): 128  (2.62M; 256 fails to compile)
@@ -172,7 +177,18 @@ def _default_batch_tile(M: int, sumA: int) -> int:
       M=2048 (TM8192): 64   (1.74M; 128: 1.47M — VMEM/pipelining pressure)
 
     The sweet spot balances per-tile fixed cost against VMEM pressure
-    (message planes scale with sumA*B*M)."""
+    (message planes scale with sumA*B*M*itemsize of the storage dtype).
+
+    bf16 storage halves the u/t'/posterior planes, but a storage-aware 2x
+    tile does NOT help: measured on v5e (steady-state probe, B=16384,
+    20 iters, pipelined), bf16 layered TM5120 tile 64/128/256 =
+    6.24/6.19/5.95M cw*iter/s vs f32 6.63M; TM6144 5.10/5.06/4.93 vs
+    5.81M; TM8192 3.39/3.53/fails-to-compile vs f32 4.73M. The per-step
+    bf16<->f32 converts dominate the halved footprint, and throughput at
+    these sizes is pipelining/fixed-cost bound, not VMEM bound — so bf16
+    keeps the f32 tiles and is documented as DOMINATED by f32 for compute
+    (docs/API.md): use bf16 only when the surrounding pipeline already
+    holds bf16 LLRs."""
     if M == 128:
         return 128
     if M == 256:
@@ -234,7 +250,10 @@ def make_ms_decoder_pallas_qc(
     streaming them from SMEM through `fori_loop`: identity sub-blocks then
     cost nothing and the remaining rolls compile to static lane permutes —
     1.2-1.7x faster than the dynamic variant on a v5e core (TM8192 f32:
-    380k vs 219k cw/s at B=16384). The price is a larger kernel body
+    380k vs 219k cw/s at B=16384 under the round-2 UNPIPELINED protocol —
+    both sides pay the ~30ms tunnel dispatch, so only the ratio carries;
+    current pipelined numbers live in results.jsonl). The price is a
+    larger kernel body
     (compile ~6 s vs ~2 s; the scoped-VMEM stack holds the unrolled
     temporaries, still comfortable at batch_tile=64). `static_tables=False`
     keeps the O(1)-IR fallback.
@@ -644,8 +663,9 @@ def make_ms_decoder_pallas_layered(
     the reference bit-for-bit. f32 is bit-exact vs the XLA layered
     implementation (same accumulation order), including iteration counts.
     int8/int16 run the saturating semantics with f32 storage/compute
-    (module docstring); with no XLA layered int twin, they are validated
-    on decode outcomes + BER against the flooding int kernel.
+    (module docstring) and are bit-exact (bits/success/iterations) vs the
+    XLA layered int path (make_ms_decoder_layered with an int dtype), which
+    mirrors this kernel's exact clip placement (tests/test_pallas.py).
 
     Fusion strategy mirrors make_ms_decoder_pallas_qc's static variant:
     grid over the batch, whole decode state (check messages u, previous
@@ -669,8 +689,7 @@ def make_ms_decoder_pallas_layered(
     is_int = dtype in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16))
     if is_int:
         # saturating int semantics with f32 storage/compute (module
-        # docstring); there is no XLA layered int path, so this variant is
-        # validated on decode outcomes + BER vs the flooding int kernel
+        # docstring); bit-exact vs the XLA layered int twin
         if alpha is not None:
             raise ValueError("the saturating int path does not support alpha")
         sat_lo = float(jnp.iinfo(dtype).min)

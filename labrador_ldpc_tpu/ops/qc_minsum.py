@@ -242,29 +242,47 @@ def make_ms_decoder_layered(
     (decoder.rs:420-426, Savin arXiv:0803.1090) to the layered extrinsics.
     `alpha` optionally adds min-sum normalization (None = plain).
 
+    int8/int16 dtypes run the reference's saturating-arithmetic semantics
+    (decoder.rs:42-55: clamp to the dtype range at every add/sub, saturating
+    abs) with int32 compute, using exactly the update/clip sequence of the
+    Pallas layered int kernel (ops/pallas_qc.py
+    `make_ms_decoder_pallas_layered`), which is pinned bit-exact against
+    this function (tests/test_pallas.py). alpha is float-only.
+
     Returns fn(llrs: (B, n) dtype) -> MSResult.
     """
     code = get_code(code)
     p = code.params
     dtype = jnp.dtype(dtype)
-    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float64)):
-        raise ValueError("layered decoder supports float dtypes")
+    is_int = dtype in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16))
+    if is_int:
+        if alpha is not None:
+            raise ValueError("the saturating int layered path does not support alpha")
+        LO, HI = int(jnp.iinfo(dtype).min), int(jnp.iinfo(dtype).max)
+    elif dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float64)):
+        raise ValueError("layered decoder supports float32/bfloat16/float64/int8/int16")
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     n = p.n
     n_blocks = n // M
     alpha_c = None if alpha is None else jnp.array(alpha, dtype=dtype)
+    # compute dtype: ints upcast to int32 so every saturation point is an
+    # explicit clip (identical values to the Pallas kernel's f32-with-clips)
+    cdt = jnp.int32 if is_int else dtype
 
     def decode(llrs: jnp.ndarray) -> MSResult:
         llrs = jnp.asarray(llrs, dtype=dtype)
         assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
         B = llrs.shape[0]
-        llr_t = llrs.T
-        zero_blk = jnp.zeros((M, B), dtype)
+        llr_t = llrs.T.astype(cdt)
+        zero_blk = jnp.zeros((M, B), cdt)
         llr_blocks = tuple(llr_t[c * M : (c + 1) * M] for c in range(n_blocks)) + tuple(
             zero_blk for _ in range(Cc - n_blocks)
         )
-        big = float(jnp.finfo(dtype).max)
+        # two-min sentinel: the int path seeds min1/min2 at the saturation
+        # point (decoder.rs:42-55 via make_ms_decoder_qc_int); for floats the
+        # seed is dead after the first addend (every finite a1 < big)
+        big = HI if is_int else float(jnp.finfo(dtype).max)
 
         row_off = [0]
         for row in s.rows:
@@ -286,18 +304,25 @@ def make_ms_decoder_layered(
                 for a, perm in enumerate(s.rows[r]):
                     e = row_off[r] + a
                     g = perm_rows(va[perm.col], perm)
-                    t = g - us[e]
+                    t = g - us[e].astype(cdt)
+                    if is_int:  # saturating sub (decoder.rs:46-48)
+                        t = jnp.clip(t, LO, HI)
                     if self_corrected:
-                        tp = tps[e]
+                        tp = tps[e].astype(cdt)
                         keep = jnp.logical_or((t < 0) == (tp < 0), tp == 0)
-                        t = jnp.where(keep, t, jnp.zeros((), dtype))
+                        t = jnp.where(keep, t, jnp.zeros((), cdt))
                     ts.append(t)
                 # two smallest |t| + sign product across the layer's addends
-                m1 = jnp.full((M, B), big, dtype)
+                m1 = jnp.full((M, B), big, cdt)
                 m2 = m1
                 sg_cnt = jnp.zeros((M, B), jnp.int32)
+                a1s = []
                 for t in ts:
-                    a1 = jnp.abs(t)
+                    if is_int:  # saturating abs: |-128| -> 127
+                        a1 = jnp.minimum(jnp.abs(t), HI)
+                    else:
+                        a1 = jnp.abs(t)
+                    a1s.append(a1)
                     is_new_min = a1 < m1
                     m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, a1))
                     m1 = jnp.minimum(m1, a1)
@@ -306,15 +331,20 @@ def make_ms_decoder_layered(
                 for a, perm in enumerate(s.rows[r]):
                     e = row_off[r] + a
                     t = ts[a]
-                    mag = jnp.where(jnp.abs(t) == m1, m2, m1)
+                    mag = jnp.where(a1s[a] == m1, m2, m1)
                     if alpha_c is not None:
                         mag = alpha_c * mag
                     neg = jnp.logical_xor(sg, t < 0)
                     u = jnp.where(neg, -mag, mag)
-                    # va <- t + u_new, i.e. va += perm_inv(u_new - u_old)
-                    va[perm.col] = va[perm.col] + perm_rows(u - us[e], perm, inverse=True)
-                    new_us[e] = u
-                    new_tps[e] = t
+                    # va <- t + u_new, i.e. va += perm_inv(u_new - u_old),
+                    # with the int path saturating the posterior update
+                    du = perm_rows(u - us[e].astype(cdt), perm, inverse=True)
+                    if is_int:
+                        va[perm.col] = jnp.clip(va[perm.col] + du, LO, HI)
+                    else:
+                        va[perm.col] = va[perm.col] + du
+                    new_us[e] = u.astype(dtype)
+                    new_tps[e] = t.astype(dtype)
 
             # end-of-iteration syndrome over the FINAL posteriors: per-layer
             # parities taken mid-sweep are stale (later layers may flip bits

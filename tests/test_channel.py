@@ -75,6 +75,18 @@ def test_two_stage_decoder_rescues():
     good = (np.asarray(res.bits)[:, : c.k] == data).all(axis=1)
     assert (good[ok].mean() if ok.any() else 1.0) > 0.9
 
+    # impl plumbing: explicit stage impls route through the shared
+    # _make_decoder registry (on TPU the production pairing is
+    # fast_impl="pallas_layered", rescue_impl="pallas_qc")
+    dec2 = make_two_stage_decoder(
+        c, maxiters_fast=2, maxiters_rescue=50,
+        dtype=jnp.float32, fast_impl="layered", rescue_impl="ref",
+    )
+    res2 = dec2(noisy)
+    ok2 = np.asarray(res2.success)
+    good2 = (np.asarray(res2.bits)[:, : c.k] == data).all(axis=1)
+    assert ok2.any() and good2[ok2].mean() > 0.9
+
 
 def test_quantize_llrs_values():
     """clip(round(llr*scale)) semantics + default scales (VERDICT r1 item 3)."""
@@ -122,8 +134,12 @@ def test_int_trial_step_rejects_bad_combos():
 
     with pytest.raises(ValueError, match="qc_i8"):
         _make_decoder(get_code("TC128"), jnp.float32, 10, None, "qc_i8")
-    with pytest.raises(ValueError, match="float"):
-        _make_decoder(get_code("TC128"), jnp.int8, 10, None, "layered")
+    # layered + int8 is now a first-class saturating path (the XLA twin of
+    # the Pallas layered int kernel) — it must NOT raise, but alpha must
+    with pytest.raises(ValueError, match="alpha"):
+        _make_decoder(get_code("TC128"), jnp.int8, 10, 0.8, "layered")
+    with pytest.raises(ValueError, match="int32"):
+        _make_decoder(get_code("TC128"), jnp.int32, 10, None, "layered")
     with pytest.raises(ValueError, match="alpha"):
         _make_decoder(get_code("TC128"), jnp.int8, 10, 0.8, "qc")
     with pytest.raises(ValueError, match="int32"):
@@ -136,7 +152,7 @@ def test_cli_validates_impl_dtype():
     with pytest.raises(SystemExit):
         main(["waterfall", "--impl", "qc_i8", "--dtype", "float32", "--snrs", "2.0"])
     with pytest.raises(SystemExit):
-        main(["waterfall", "--impl", "layered", "--dtype", "int8", "--snrs", "2.0"])
+        main(["waterfall", "--impl", "layered", "--dtype", "int32", "--snrs", "2.0"])
 
 
 def test_waterfall_checkpoint_resume(tmp_path):

@@ -307,3 +307,75 @@ def test_pallas_qc_int8_saturation_corners():
     np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_q.success))
     np.testing.assert_array_equal(np.asarray(r_p.iterations),
                                   np.asarray(r_q.iterations))
+
+
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.int16], ids=["i8", "i16"])
+def test_pallas_layered_int_matches_layered_int_xla(dtype):
+    """Saturating int layered semantics: bit-identical
+    (bits/success/iterations) to the XLA layered int twin
+    (make_ms_decoder_layered with an int dtype), which mirrors the kernel's
+    exact clip placement. A misplaced clip in either implementation breaks
+    this mid-waterfall."""
+    from labrador_ldpc_tpu.channel.awgn import default_llr_scale, quantize_llrs
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_layered
+
+    code = get_code("TM2048")
+    B = 10
+    rng = np.random.default_rng(61)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = tx + 0.6 * rng.standard_normal(tx.shape).astype(np.float32)
+    llrs = quantize_llrs(jnp.asarray(noisy), dtype, default_llr_scale(dtype))
+    r_p = make_ms_decoder_pallas_layered(code, dtype, maxiters=12, batch_tile=4,
+                                         interpret=True)(llrs)
+    r_l = make_ms_decoder_layered(code, dtype, maxiters=12)(llrs)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_l.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_l.success))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_l.iterations))
+
+
+def test_pallas_layered_int8_small_m_matches_layered_int_xla():
+    """Layered int8 on the M=128 masked-roll path (TM1280): the masked
+    lane-select permutations must compose with the saturating clip sequence
+    exactly as the slice form does."""
+    from labrador_ldpc_tpu.channel.awgn import default_llr_scale, quantize_llrs
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_layered
+
+    code = get_code("TM1280")
+    B = 8
+    rng = np.random.default_rng(67)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = tx + 0.55 * rng.standard_normal(tx.shape).astype(np.float32)
+    llrs = quantize_llrs(jnp.asarray(noisy), jnp.int8, default_llr_scale(jnp.int8))
+    r_p = make_ms_decoder_pallas_layered(code, jnp.int8, maxiters=12, batch_tile=4,
+                                         interpret=True)(llrs)
+    r_l = make_ms_decoder_layered(code, jnp.int8, maxiters=12)(llrs)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_l.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_l.success))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_l.iterations))
+
+
+def test_pallas_layered_int8_saturation_corners():
+    """Uniform random int8 LLRs spanning [-128, 127] hit every saturation
+    point of the layered schedule (sub clamp, posterior-update clamp,
+    |-128| -> 127); still bit-exact vs the XLA layered int twin."""
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_layered
+
+    code = get_code("TM2048")
+    rng = np.random.default_rng(71)
+    llrs = jnp.asarray(rng.integers(-128, 128, (8, code.n), dtype=np.int8))
+    r_p = make_ms_decoder_pallas_layered(code, jnp.int8, maxiters=8, batch_tile=4,
+                                         interpret=True)(llrs)
+    r_l = make_ms_decoder_layered(code, jnp.int8, maxiters=8)(llrs)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_l.bits))
+    np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_l.success))
+    np.testing.assert_array_equal(np.asarray(r_p.iterations),
+                                  np.asarray(r_l.iterations))

@@ -102,25 +102,34 @@ def test_pallas_tc_int8_saturation_points():
     _assert_same(r_p, r_q)
 
 
-def test_pallas_tc_layered_int8_outcome():
-    """No XLA layered-int twin exists; outcome-level: a 3-bit-flip batch
-    must fully converge and reproduce the codewords."""
-    from labrador_ldpc_tpu.ops.convert import hard_to_llrs, pack_bits
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.int16], ids=["i8", "i16"])
+def test_pallas_tc_layered_int_matches_layered_int_xla(dtype):
+    """Saturating int layered semantics: bit-identical to the XLA layered
+    int twin (make_ms_decoder_layered with an int dtype), which mirrors the
+    kernel's exact clip placement."""
+    from labrador_ldpc_tpu.channel.awgn import default_llr_scale, quantize_llrs
 
     code = get_code("TC512")
-    B = 8
-    rng = np.random.default_rng(53)
-    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
-    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
-    rx = cw.copy()
-    rx[:, [1, 40, 200]] ^= 1
-    llrs = hard_to_llrs(pack_bits(jnp.asarray(rx)), jnp.float32) * 24.0
-    llrs = llrs.astype(jnp.int8)
-    res = make_ms_decoder_pallas_tc_layered(
-        code, jnp.int8, maxiters=30, batch_tile=4, interpret=True
+    noisy = _noisy(code, 10, 53, sigma=0.6)
+    llrs = quantize_llrs(noisy, dtype, default_llr_scale(dtype))
+    r_p = make_ms_decoder_pallas_tc_layered(
+        code, dtype, maxiters=12, batch_tile=4, interpret=True
     )(llrs)
-    assert bool(np.asarray(res.success).all())
-    np.testing.assert_array_equal(np.asarray(res.bits)[:, : code.n], cw)
+    r_l = make_ms_decoder_layered(code, dtype, maxiters=12)(llrs)
+    _assert_same(r_p, r_l)
+
+
+def test_pallas_tc_layered_int8_saturation_points():
+    """Uniform random int8 LLRs spanning [-128, 127] hit every layered
+    saturation point; still bit-exact vs the XLA layered int twin."""
+    code = get_code("TC128")
+    rng = np.random.default_rng(59)
+    llrs = jnp.asarray(rng.integers(-128, 128, (8, code.n), dtype=np.int8))
+    r_p = make_ms_decoder_pallas_tc_layered(
+        code, jnp.int8, maxiters=10, batch_tile=4, interpret=True
+    )(llrs)
+    r_l = make_ms_decoder_layered(code, jnp.int8, maxiters=10)(llrs)
+    _assert_same(r_p, r_l)
 
 
 @pytest.mark.parametrize("name", TC_CODES)
