@@ -28,7 +28,7 @@ from .codes.expand import (
     parity_edges,
 )
 from .ops.convert import hard_to_llrs, llrs_to_hard, pack_bits, unpack_bits
-from .ops.encoder import encode, encode_bits, make_encoder
+from .ops.encoder import encode, encode_bits, encode_onto, make_encoder
 from .ops.minsum import MSResult, decode_ms, make_ms_decoder
 from .ops.qc_minsum import (
     make_ms_decoder_layered,
@@ -45,7 +45,7 @@ __version__ = "0.1.0"
 __all__ = [
     "LDPCCode", "CodeParams", "get_code", "ALL_CODES", "TC_CODES", "TM_CODES",
     "parity_edges", "parity_check_matrix", "generator_parity_matrix", "decoder_tables",
-    "encode", "encode_bits", "make_encoder",
+    "encode", "encode_bits", "encode_onto", "make_encoder",
     "decode_ms", "make_ms_decoder", "make_ms_decoder_qc", "make_ms_decoder_qc_i8",
     "make_ms_decoder_qc_int", "make_ms_decoder_layered", "make_ms_decoder_pallas_qc",
     "make_ms_decoder_pallas_layered", "MSResult",

@@ -24,7 +24,7 @@ from ..codes.expand import generator_parity_matrix
 from ..codes.params import LDPCCode, get_code
 from .convert import pack_bits, unpack_bits
 
-__all__ = ["encode_bits", "encode", "make_encoder"]
+__all__ = ["encode_bits", "encode", "encode_onto", "make_encoder"]
 
 
 @lru_cache(maxsize=None)
@@ -55,6 +55,27 @@ def encode(code: LDPCCode | str, data_bytes: jnp.ndarray) -> jnp.ndarray:
     code = get_code(code)
     bits = unpack_bits(data_bytes)
     return pack_bits(encode_bits(code, bits))
+
+
+def encode_onto(code: LDPCCode | str, codeword_bytes: jnp.ndarray) -> jnp.ndarray:
+    """Encode reading the data already sitting in the codeword head.
+
+    The functional counterpart of the reference's in-place
+    `encode(&mut codeword)` (encoder.rs:293-307), which computes the parity
+    tail from the first k bits of the caller's n-bit codeword buffer. JAX
+    arrays are immutable, so "in place" becomes value semantics: the input
+    is a (B, n/8) packed buffer whose head holds the data (tail contents
+    ignored) and the result is the same-shape buffer with the parity tail
+    filled in. (Callers that need true in-place reuse can jit with
+    donate_argnums on the buffer; this function does not donate by
+    itself.)
+    """
+    code = get_code(code)
+    p = code.params
+    assert codeword_bytes.shape[-1] == p.n // 8, (
+        f"codeword buffer must be (B, {p.n // 8}) packed bytes"
+    )
+    return encode(code, codeword_bytes[:, : p.k // 8])
 
 
 @lru_cache(maxsize=None)

@@ -67,6 +67,42 @@ def test_h_g_orthogonal_tc(code):
     assert ((H @ full_g.T) & 1).max() == 0
 
 
+@pytest.mark.parametrize("code", ALL_CODES, ids=str)
+def test_h_g_orthogonal_all_codes(code):
+    """H . G^T = 0 over the FULL (n+p)-variable H for all 9 codes — the
+    punctured analog of the reference's cross-pins (codes/mod.rs:497-535).
+
+    For TM codes the transmitted codeword omits p parity bits; the implied
+    full generator's punctured columns are recovered by erasure-repairing a
+    clean codeword (ops/bitflip.py decode_erasures_bits, the reference's
+    decode_erasures, decoder.rs:144-223), then every check of the full H
+    must be satisfied. Data vectors are a dense pseudo-random batch plus the
+    all-zero word, so G's columns and the erasure fill are exercised beyond
+    the golden byte pattern."""
+    import jax.numpy as jnp
+
+    from labrador_ldpc_tpu.ops.bitflip import decode_erasures_bits
+    from labrador_ldpc_tpu.ops.encoder import encode_bits
+
+    p = code.params
+    H = parity_check_matrix(code)  # (n+p-k, n+p)
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 2, (16, p.k), dtype=np.uint8)
+    data[0] = 0  # all-zero data -> all-zero codeword must also pass
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))  # (B, n)
+    if p.punctured_bits:
+        padded = np.concatenate(
+            [cw, np.zeros((cw.shape[0], p.punctured_bits), np.uint8)], axis=1
+        )
+        ok, _, full = decode_erasures_bits(code, jnp.asarray(padded), maxiters=8)
+        full = np.asarray(full)
+        assert bool(np.asarray(ok).all())
+        np.testing.assert_array_equal(full[:, : p.n], cw)
+    else:
+        full = cw
+    assert ((full @ H.T) & 1).max() == 0
+
+
 def test_params_registry():
     # pinned against reference src/codes/mod.rs:109-241
     p = get_code("TM8192").params
@@ -100,3 +136,23 @@ def test_decoder_tables_consistency(code):
     # var tables point at the right checks
     flat_chk = t.var_edge_idx[t.var_mask] // t.dc_max
     assert np.array_equal(flat_chk, t.var_check_idx[t.var_mask])
+
+
+@pytest.mark.parametrize("code", ALL_CODES, ids=str)
+def test_encode_onto_matches_copy_encode(code):
+    """encode_onto (the reference's in-place `encode(&mut codeword)`,
+    encoder.rs:293-307: parity computed from the data already in the
+    codeword head) returns the same bytes as copy-style encode, with the
+    buffer's stale tail ignored."""
+    import jax.numpy as jnp
+
+    from labrador_ldpc_tpu.ops.encoder import encode, encode_onto
+
+    p = code.params
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, (4, p.k // 8), dtype=np.uint8)
+    buf = rng.integers(0, 256, (4, p.n // 8), dtype=np.uint8)  # garbage tail
+    buf[:, : p.k // 8] = data
+    out = np.asarray(encode_onto(code, jnp.asarray(buf)))
+    ref = np.asarray(encode(code, jnp.asarray(data)))
+    np.testing.assert_array_equal(out, ref)
