@@ -140,22 +140,20 @@ def bench_all(codes, impls, base_batch, reps, results):
         t = _timeit(lambda: bf(bits), reps)
         record("decode_bf", name, batch / t, "cw/s", maxiters=50)
 
-        # --- decode_bf, fused Pallas kernel (TM codes; bit-exact vs qc) ----
-        try:
-            from labrador_ldpc_tpu.ops.pallas_bf import make_bf_decoder_pallas
+        # --- decode_bf, fused Pallas kernel (all 9 codes: TM lane-roll,
+        # TC transposed sublane-roll), asserted bit-exact vs the XLA QC
+        # path on-device before timing ----------------------------------
+        from labrador_ldpc_tpu.ops.pallas_bf import make_bf_decoder_pallas
 
-            bfp = make_bf_decoder_pallas(code, maxiters=50)
-            res_p = bfp(bits)
-            _sync(res_p)
-            res_q = bf(bits)
-            assert np.array_equal(np.asarray(res_p.bits), np.asarray(res_q.bits))
-            assert np.array_equal(np.asarray(res_p.iterations),
-                                  np.asarray(res_q.iterations))
-        except ValueError as e:  # TC codes: M < 128
-            print(f"decode_bf[pallas] {name}: SKIP ({type(e).__name__})")
-        else:
-            t = _timeit(lambda: bfp(bits), reps)
-            record("decode_bf[pallas]", name, batch / t, "cw/s", maxiters=50)
+        bfp = make_bf_decoder_pallas(code, maxiters=50)
+        res_p = bfp(bits)
+        _sync(res_p)
+        res_q = bf(bits)
+        assert np.array_equal(np.asarray(res_p.bits), np.asarray(res_q.bits))
+        assert np.array_equal(np.asarray(res_p.iterations),
+                              np.asarray(res_q.iterations))
+        t = _timeit(lambda: bfp(bits), reps)
+        record("decode_bf[pallas]", name, batch / t, "cw/s", maxiters=50)
 
         # --- steady-state bf per-iteration rate ----------------------------
         # uniform-random bits (almost) never satisfy all checks, so the

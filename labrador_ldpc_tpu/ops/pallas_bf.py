@@ -78,6 +78,13 @@ def make_bf_decoder_pallas(
     Bit-exact vs `make_bf_decoder_qc` / `make_bf_decoder` (bits, success,
     iterations — including the erasure preprocessor's accounting on the
     punctured TM codes). Returns fn(hard_bits: (B, n) int) -> BFResult.
+
+    `batch_tile` means different things per dispatch target: for TM codes
+    (this kernel) it tiles SUBLANES and small values are legal; for TC
+    codes it is forwarded to the transposed kernel (ops/pallas_tc.py)
+    where the batch rides the 128 LANES, so it must be a multiple of 128
+    when compiled for real TPU (validated in pallas_tc._resolve_batch_tile;
+    interpret mode is exempt).
     """
     code = get_code(code)
     p = code.params

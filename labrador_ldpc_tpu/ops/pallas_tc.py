@@ -84,6 +84,23 @@ def _roll_fns(M: int):
     return fwd, inv
 
 
+def _resolve_batch_tile(batch_tile, M, interpret, default=None):
+    """TC kernels put the BATCH on the 128 TPU lanes, so an explicit
+    batch_tile must be a lane-tile multiple when compiled for real TPU
+    (interpret mode is exempt). Validated here, once, for every dispatcher
+    (make_bf_decoder_pallas / make_ms_decoder_pallas_* forward to these
+    factories; the TM kernels tile sublanes instead and accept any size)."""
+    if batch_tile is None:
+        return _default_batch_tile_tc(M) if default is None else default
+    if not interpret and batch_tile % 128:
+        raise ValueError(
+            f"TC codes put the batch on the 128 TPU lanes: batch_tile must "
+            f"be a multiple of 128 (got {batch_tile}); omit it for the "
+            f"measured default"
+        )
+    return batch_tile
+
+
 def _check_code(code, dtype, alpha, static_int_err):
     """Shared validation; returns (code, storage dtype, is_int, sat bounds)."""
     code = get_code(code)
@@ -155,7 +172,7 @@ def make_ms_decoder_pallas_tc_layered(
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     n, V = p.n, Cc * M
     sumA = sum(len(r) for r in s.rows)
-    B = _default_batch_tile_tc(M) if batch_tile is None else batch_tile
+    B = _resolve_batch_tile(batch_tile, M, interpret)
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
@@ -348,7 +365,7 @@ def make_ms_decoder_pallas_tc_qc(
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     n, V = p.n, Cc * M
     sumA = sum(len(r) for r in s.rows)
-    B = _default_batch_tile_tc(M) if batch_tile is None else batch_tile
+    B = _resolve_batch_tile(batch_tile, M, interpret)
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
@@ -572,7 +589,8 @@ def make_bf_decoder_pallas_tc(
     # Measured tile defaults (v5e, maxiters=50, 3-bit-flip protocol,
     # B=32768 pipelined): TC128 bt=1024 6.6M cw/s (vs XLA qc 4.4M),
     # TC256 bt=512 8.5M (XLA 3.4M), TC512 bt=1024 7.4M (XLA 1.1M).
-    B = (512 if M == 32 else 1024) if batch_tile is None else batch_tile
+    B = _resolve_batch_tile(batch_tile, M, interpret,
+                            default=512 if M == 32 else 1024)
     f32 = jnp.float32
     fwd, inv = _roll_fns(M)
 

@@ -55,6 +55,8 @@ def _anchors():
     out = {}
     with open(ANCHOR_CSV) as f:
         for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue  # provenance/gating-eligibility header
             code, snr, trials, bits, bit_errs, ber, model, frame_errs = row
             out[(code, float(snr))] = dict(
                 trials=int(trials), bits=int(bits), bit_errors=int(bit_errs),

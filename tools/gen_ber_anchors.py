@@ -55,7 +55,18 @@ def main():
         )
         for p in pts:
             rows.append(f"{p.csv()},{model},{p.frame_errors}")
-    OUT.write_text("\n".join(rows) + "\n")
+    header = (
+        "# BER anchors measured on real TPU (tools/gen_ber_anchors.py; impl=qc\n"
+        "# f32, maxiters=100, batch=4096, stop at 5k bit errors or 16M data\n"
+        "# bits, seed 0).\n"
+        "# Columns: code,snr_db,trials,data_bits,bit_errors,ber,noise_model,"
+        "frame_errors\n"
+        "# Rows whose frame_errors are too few for a reduced-budget CI rerun\n"
+        "# to expect >=70 are waterfall-TAIL measurements kept for curve shape\n"
+        "# only and MUST NOT be used as regression gates (the reference's own\n"
+        "# stopping rule is 5k errors, perftest/src/main.rs:50).\n"
+    )
+    OUT.write_text(header + "\n".join(rows) + "\n")
     print(f"wrote {len(rows)} anchors to {OUT}")
 
 
