@@ -28,7 +28,17 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--code", default="TM8192")
-    ap.add_argument("--impl", default="qc", choices=["ref", "qc", "layered", "pallas_qc"])
+    ap.add_argument(
+        "--impl",
+        default="qc",
+        choices=[
+            # soft min-sum (routed through channel.awgn._make_decoder)
+            "ref", "qc", "qc_i8", "qc_i16", "layered",
+            "pallas_qc", "pallas_layered",
+            # hard-decision bit-flip (ops.bitflip / ops.pallas_bf)
+            "bf", "bf_qc", "bf_pallas",
+        ],
+    )
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--maxiters", type=int, default=50)
@@ -51,8 +61,28 @@ def main() -> int:
     data = rng.integers(0, 256, (args.batch, code.k // 8), dtype=np.uint8)
     cw = np.array(encode(code, jnp.asarray(data)))
     cw[:, 0] ^= 0xA8
-    llrs = jax.device_put(hard_to_llrs(jnp.asarray(cw), jnp.dtype(args.dtype)))
-    dec = _make_decoder(code, jnp.dtype(args.dtype), args.maxiters, None, args.impl)
+    if args.impl.startswith("bf"):
+        # hard-decision family: input is the corrupted bit matrix
+        from labrador_ldpc_tpu.ops.bitflip import make_bf_decoder, make_bf_decoder_qc
+        from labrador_ldpc_tpu.ops.convert import unpack_bits
+        from labrador_ldpc_tpu.ops.pallas_bf import make_bf_decoder_pallas
+
+        mk = {"bf": make_bf_decoder, "bf_qc": make_bf_decoder_qc,
+              "bf_pallas": make_bf_decoder_pallas}[args.impl]
+        dec = mk(code, maxiters=args.maxiters)
+        llrs = jax.device_put(unpack_bits(jnp.asarray(cw)))
+    else:
+        dtype = jnp.dtype(args.dtype)
+        if args.impl.endswith(("_i8", "_i16")) or dtype.name.startswith("int"):
+            from labrador_ldpc_tpu.channel.awgn import quantize_llrs
+
+            if not dtype.name.startswith("int"):
+                dtype = jnp.dtype("int8" if args.impl.endswith("_i8") else "int16")
+            soft = hard_to_llrs(jnp.asarray(cw), jnp.float32)
+            llrs = jax.device_put(quantize_llrs(soft, dtype))
+        else:
+            llrs = jax.device_put(hard_to_llrs(jnp.asarray(cw), dtype))
+        dec = _make_decoder(code, dtype, args.maxiters, None, args.impl)
     jax.block_until_ready(dec(llrs))  # compile + warm
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="ldpc_trace_")

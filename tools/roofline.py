@@ -1,0 +1,241 @@
+"""Quantified VPU roofline for the Pallas min-sum kernels.
+
+Makes the "speed-of-light" claim falsifiable (STATUS.md roofline section):
+
+  1. MEASURE the VPU's sustainable f32 element-op rate with a calibration
+     Pallas kernel (a long fori_loop of dependent elementwise chains with
+     4-way ILP, the same op mix as the decoder: mul/add/abs/min/cmp/select)
+     and the lane-roll rate (pltpu.roll is the decoder's only data motion).
+  2. COUNT the production layered kernel's vector element-ops per iteration
+     per codeword by walking the unrolled body (ops/pallas_qc.py
+     `make_ms_decoder_pallas_layered`) over the code's qc_structure.
+  3. MEASURE the steady-state decode rate (cw*iter/s, pure-noise LLRs,
+     fixed iteration budget) and report utilization = counted-ops * rate /
+     measured-peak.
+
+Run on the real TPU:  timeout 570 python tools/roofline.py [--code TM8192]
+
+The per-addend op counts in `count_layered_ops` are derived line-by-line
+from the kernel body; if the kernel changes, re-derive (each constant is
+annotated with the statement it counts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from labrador_ldpc_tpu.codes.expand import qc_structure
+from labrador_ldpc_tpu.codes.params import get_code
+
+
+def _bench(fn, x, rep=20):
+    np.asarray(fn(x))  # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(rep):
+        out = fn(x)
+    np.asarray(out)  # one blocking fetch after rep async dispatches
+    return (time.perf_counter() - t0) / rep
+
+
+def measure_vpu_peak(B=256, M=2048, K=500, chains=4):
+    """Sustained f32 elementwise rate (element-ops/s) with the decoder's op
+    mix and 4 independent chains (ILP), state VMEM-resident."""
+    OPS = 13 * chains  # ops per K-step per element (counted in `body`)
+
+    def kernel(x_ref, o_ref):
+        def body(i, accs):
+            outs = []
+            for a0 in accs:  # 13 element-ops per chain per step
+                a = a0 * 1.0001 + 0.5          # 2 (mul, add; may fuse)
+                b = jnp.abs(a) - 0.25          # 2
+                c = jnp.minimum(a, b)          # 1
+                d = jnp.where(b < a, c + 1.0, c - 1.0)  # 4 (cmp, +, -, sel)
+                e = jnp.maximum(d, -d)         # 2
+                outs.append(d + e * 0.5)       # 2
+            return tuple(outs)
+
+        init = tuple(x_ref[:] + float(i) for i in range(chains))
+        res = jax.lax.fori_loop(0, K, body, init)
+        acc = res[0]
+        for r in res[1:]:
+            acc = acc + r
+        o_ref[:] = acc
+
+    x = jnp.ones((B, M), jnp.float32)
+    fn = jax.jit(
+        pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+    )
+    dt = _bench(fn, x)
+    rate = B * M * K * OPS / dt
+    print(f"vpu elementwise peak ({B},{M}, ilp{chains}): {rate/1e12:.2f} Tops/s f32")
+    return rate
+
+
+def measure_roll_peak(B=256, M=2048, K=500):
+    """Sustained full-width lane-roll rate (element-moves/s)."""
+
+    def kernel(x_ref, o_ref):
+        def body(i, accs):
+            return tuple(pltpu.roll(a, 7 + j, axis=1) for j, a in enumerate(accs))
+
+        init = tuple(x_ref[:] + float(i) for i in range(4))
+        res = jax.lax.fori_loop(0, K, body, init)
+        o_ref[:] = res[0] + res[1] + res[2] + res[3]
+
+    x = jnp.ones((B, M), jnp.float32)
+    fn = jax.jit(
+        pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+    )
+    dt = _bench(fn, x)
+    rate = B * M * K * 4 / dt
+    print(f"lane-roll peak ({B},{M}): {rate/1e12:.2f} T element-moves/s f32")
+    return rate
+
+
+def _perm_moves(perm, M: int, inverse: bool) -> float:
+    """Element-moves (per codeword, M-element planes) for one static block
+    permutation in _static_perm_fns (slice form, M >= 256): a rot is one
+    full-width roll (0 if the shift is 0 — identity HI addends are free);
+    a pi permutation is 4 quarter rolls (M elements total) + the theta
+    whole-block roll + the concat copy (~M)."""
+    if perm.kind == "rot":
+        sh = perm.shift % M
+        return 0.0 if sh == 0 else 1.0
+    return 3.0  # 4x M/4 quarter rolls + whole-block theta roll + concat copy
+
+
+def count_layered_ops(code) -> dict:
+    """Element-ops and element-moves per ITERATION per CODEWORD for the
+    layered Pallas kernel's general (non-peeled) body, walking the same
+    qc_structure the kernel unrolls over. Counts are per M-element plane
+    (x M at the end). Derived from ops/pallas_qc.py kernel body:
+
+    pass 1 (per addend):   g=fwd_perm(va)      -> moves
+                           t = g - u           -> 1
+                           self-correction     -> 6 (2 cmp==, 2 cmp<, or, where)
+    two-min (per addend):  a1=|t|              -> 1
+                           is_new = a1<m1      -> 1
+                           m2 = where(.., min) -> 2
+                           m1 = min            -> 1
+                           sgc += (t<0)        -> 3 (cmp, cast, add)
+    per layer:             sg = mod2(sgc)      -> 4 (mul, floor, mul, sub)
+    pass 2 (per addend):   mag = where(a1==m1) -> 2
+                           neg = xor(sg!=0,t<0)-> 3
+                           u = where(neg,-mag) -> 2
+                           du = u - u_old      -> 1
+                           inv_perm(du)        -> moves
+                           va += du            -> 1
+                           store u, t'         -> 2
+    syndrome:  sign planes (per col)           -> 2 (cmp, cast)
+               per addend: par += fwd_perm(s)  -> 1 + moves
+               per layer:  mod2 + min-reduce   -> 4 + 2
+    freeze (per V-element): newly/where/iters  -> ~6 on (B,V) planes
+    """
+    s = qc_structure(code)
+    M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
+    ops = 0.0  # element-ops on M-planes
+    moves = 0.0  # element-moves on M-planes
+    for row in s.rows:
+        for perm in row:
+            ops += 7.0  # pass 1 arithmetic
+            ops += 8.0  # two-min + sign count
+            ops += 11.0  # pass 2 arithmetic + stores
+            ops += 1.0  # syndrome par accumulate
+            moves += _perm_moves(perm, M, inverse=False)  # pass 1 fwd
+            moves += _perm_moves(perm, M, inverse=True)  # pass 2 inv
+            moves += _perm_moves(perm, M, inverse=False)  # syndrome fwd
+        ops += 4.0 + 4.0 + 2.0  # per-layer sg mod2, syndrome mod2+reduce
+    ops += Cc * 2.0  # sign planes
+    ops += Cc * 6.0  # freeze bookkeeping on (B, V)
+    return {
+        "element_ops": ops * M,
+        "element_moves": moves * M,
+        "M": M,
+        "R": R,
+        "Cc": Cc,
+        "sumA": sum(len(r) for r in s.rows),
+    }
+
+
+def measure_ms_iter(code, impl_dtype=jnp.float32, batch=16384, iters=20):
+    """Steady-state layered kernel rate: pure-noise LLRs, fixed budget."""
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+
+    rng = np.random.default_rng(0)
+    noise = jax.device_put(
+        jnp.asarray(rng.standard_normal((batch, code.n)), impl_dtype)
+    )
+    dec = make_ms_decoder_pallas_layered(code, impl_dtype, maxiters=iters)
+    res = dec(noise)
+    np.asarray(res.bits)
+    assert not bool(np.asarray(res.success).any() and np.asarray(res.success).mean() > 0.05)
+    t0 = time.perf_counter()
+    rep = 8
+    for _ in range(rep):
+        res = dec(noise)
+    np.asarray(res.bits)
+    dt = (time.perf_counter() - t0) / rep
+    rate = batch * iters / dt
+    print(f"{code.name} pallas_layered steady state: {rate/1e6:.2f}M cw*iter/s")
+    return rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--code", default="TM8192")
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--skip-measure", action="store_true",
+                    help="only print the static op counts")
+    args = ap.parse_args()
+    code = get_code(args.code)
+    c = count_layered_ops(code)
+    print(
+        f"{code.name}: layered kernel per iter per cw: "
+        f"{c['element_ops']/1e3:.1f}k element-ops + "
+        f"{c['element_moves']/1e3:.1f}k element-moves "
+        f"(M={c['M']}, R={c['R']}, Cc={c['Cc']}, sumA={c['sumA']})"
+    )
+    if args.skip_measure:
+        return
+    vpu = measure_vpu_peak()
+    roll = measure_roll_peak()
+    rate = measure_ms_iter(code, batch=args.batch)
+    t_ops = c["element_ops"] * rate / vpu
+    t_moves = c["element_moves"] * rate / roll
+    print(
+        f"time budget per iter: ops {t_ops*100:.1f}% of VPU peak + "
+        f"moves {t_moves*100:.1f}% of roll peak = {100*(t_ops+t_moves):.1f}% "
+        f"accounted (>100% => counts conservative; <<100% => headroom)"
+    )
+    print(
+        f"utilization vs elementwise peak alone: "
+        f"{100*c['element_ops']*rate/vpu:.1f}%"
+    )
+
+
+if __name__ == "__main__":
+    main()
