@@ -40,15 +40,20 @@ make_ms_decoder_qc(f32) (same accumulation order); bfloat16 stores
 messages/posteriors in bf16 with f32 compute (per-step rounding), matching
 the XLA bf16 path's contract (validated on decode outcomes + BER).
 
-int8/int16 LLRs run the reference's saturating-arithmetic semantics
-(decoder.rs:42-55: clamp to the dtype range at every add/sub, saturating
-abs) with f32 storage and compute — exact, because every value the int
-algorithm can produce is an integer of magnitude <= 32767 << 2^24, so f32
+int8/int16 LLRs run saturating int semantics with f32 storage and compute
+— exact, because every value the int algorithms can produce is an integer
+of magnitude <= 32767 * (1 + var degree) << 2^24, so f32
 add/sub/abs/compare on them is lossless and `clip` reproduces the
-saturation points. Bit-exact (bits/success/iterations) vs
-make_ms_decoder_qc_int, whose accumulation order the static kernel shares.
-Mosaic v5e cannot vector-compare int8 natively; this formulation sidesteps
-that while keeping the VMEM-resident speed of the float kernels.
+saturation points. The FLOODING kernel clamps at every add/sub exactly
+like the reference (decoder.rs:42-55; its posterior is recomputed from
+scratch each iteration, so that clipping is transient) and is bit-exact
+(bits/success/iterations) vs make_ms_decoder_qc_int. The LAYERED kernel
+saturates MESSAGES only and keeps its carried posterior accumulator WIDE
+— in-place clipping would compound across layers/iterations and wreck the
+waterfall (measured: qc_minsum.py make_ms_decoder_layered docstring) —
+and is bit-exact vs that XLA twin. Mosaic v5e cannot vector-compare int8
+natively; the f32-clip formulation sidesteps that while keeping the
+VMEM-resident speed of the float kernels.
 """
 
 from __future__ import annotations
@@ -791,14 +796,10 @@ def make_ms_decoder_pallas_layered(
                     neg = jnp.logical_xor(sg != 0.0, t < 0.0)
                     u = jnp.where(neg, -mag, mag)
                     du = u if first else u - us_ref[e].astype(f32)
-                    if is_int:  # saturate the posterior update
-                        va_ref[:, c0 : c0 + M] = jnp.clip(
-                            va_ref[:, c0 : c0 + M] + inv_perm_s(du, perm),
-                            sat_lo,
-                            sat_hi,
-                        )
-                    else:
-                        va_ref[:, c0 : c0 + M] += inv_perm_s(du, perm).astype(dtype)
+                    # the int posterior accumulator stays WIDE — only
+                    # messages saturate (qc_minsum.py make_ms_decoder_layered
+                    # docstring; bounded by (1+deg)*HI, exact in f32)
+                    va_ref[:, c0 : c0 + M] += inv_perm_s(du, perm).astype(dtype)
                     us_ref[e] = u.astype(dtype)
                     tps_ref[e] = t.astype(dtype)
             # end-of-iteration syndrome over the FINAL posteriors (per-layer

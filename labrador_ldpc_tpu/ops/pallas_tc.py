@@ -30,9 +30,12 @@ is `decode_ms` (decoder.rs:347-475, self-corrected min-sum, Savin
 arXiv:0803.1090); the layered schedule is the documented divergence
 validated statistically (see qc_minsum.make_ms_decoder_layered).
 
-int8/int16 LLRs run the reference's saturating-arithmetic semantics
-(decoder.rs:42-55) as exact f32 clips, the same formulation as
-pallas_qc.py (its module docstring has the exactness argument).
+int8/int16 LLRs run saturating int semantics as exact f32 clips, the same
+formulation as pallas_qc.py (its module docstring has the exactness
+argument): the flooding kernel clamps every add/sub like the reference
+(decoder.rs:42-55), the layered kernel saturates messages only and keeps
+its carried posterior accumulator wide (see
+qc_minsum.make_ms_decoder_layered).
 
 The caller-facing factories in pallas_qc.py auto-dispatch here for
 M < 128, so `make_ms_decoder_pallas_qc`/`_layered` cover all 9 codes.
@@ -252,12 +255,11 @@ def make_ms_decoder_pallas_tc_layered(
                     neg = jnp.logical_xor(sg != 0.0, t < 0.0)
                     u = jnp.where(neg, -mag, mag)
                     du = u if first else u - us_ref[e * M : (e + 1) * M, :].astype(f32)
-                    if is_int:  # saturate the posterior update
-                        va_ref[c0 : c0 + M, :] = jnp.clip(
-                            va_ref[c0 : c0 + M, :] + inv(du, perm), sat_lo, sat_hi
-                        )
-                    else:
-                        va_ref[c0 : c0 + M, :] += inv(du, perm).astype(dtype)
+                    # the int LAYERED posterior accumulator stays WIDE —
+                    # only messages saturate (qc_minsum.py
+                    # make_ms_decoder_layered docstring; the flooding
+                    # kernel below keeps the reference's transient clip)
+                    va_ref[c0 : c0 + M, :] += inv(du, perm).astype(dtype)
                     us_ref[e * M : (e + 1) * M, :] = u.astype(dtype)
                     tps_ref[e * M : (e + 1) * M, :] = t.astype(dtype)
             # end-of-iteration syndrome over the FINAL posteriors

@@ -242,12 +242,24 @@ def make_ms_decoder_layered(
     (decoder.rs:420-426, Savin arXiv:0803.1090) to the layered extrinsics.
     `alpha` optionally adds min-sum normalization (None = plain).
 
-    int8/int16 dtypes run the reference's saturating-arithmetic semantics
-    (decoder.rs:42-55: clamp to the dtype range at every add/sub, saturating
-    abs) with int32 compute, using exactly the update/clip sequence of the
-    Pallas layered int kernel (ops/pallas_qc.py
-    `make_ms_decoder_pallas_layered`), which is pinned bit-exact against
-    this function (tests/test_pallas.py). alpha is float-only.
+    int8/int16 dtypes run saturating MESSAGE arithmetic — extrinsics t and
+    check messages u clamp to the dtype range with saturating abs
+    (|-128| -> 127), exactly as the reference clamps its DecodeFrom
+    messages (decoder.rs:42-55) — but the layered POSTERIOR accumulator is
+    WIDE (int32 compute, never clipped). This is a deliberate, measured
+    divergence from naively saturating every add: the reference's flooding
+    schedule recomputes posteriors from scratch each iteration
+    (decoder.rs:433-441), so its posterior clipping is transient, while a
+    layered schedule CARRIES the posterior across layers and iterations
+    and in-place clipping compounds — measured TM8192@1.1dB int8 scale 16:
+    3261/4096 frame errors with a clipped accumulator vs 168/4096 wide —
+    BETTER than the reference-semantics flooding int8 path's 337 (the
+    layered schedule's convergence advantage carries over; anchor in
+    benchmarks/results/ber_regression_points_i8.csv).
+    The accumulator is bounded by (1 + var-degree) * HI, so int32 (and the
+    Pallas kernels' f32) hold it exactly. The update/clip sequence matches
+    the Pallas layered int kernels bit-for-bit (tests/test_pallas.py,
+    tests/test_pallas_tc.py). alpha is float-only.
 
     Returns fn(llrs: (B, n) dtype) -> MSResult.
     """
@@ -336,13 +348,11 @@ def make_ms_decoder_layered(
                         mag = alpha_c * mag
                     neg = jnp.logical_xor(sg, t < 0)
                     u = jnp.where(neg, -mag, mag)
-                    # va <- t + u_new, i.e. va += perm_inv(u_new - u_old),
-                    # with the int path saturating the posterior update
+                    # va <- t + u_new, i.e. va += perm_inv(u_new - u_old);
+                    # the int accumulator stays WIDE (module docstring) —
+                    # only messages saturate
                     du = perm_rows(u - us[e].astype(cdt), perm, inverse=True)
-                    if is_int:
-                        va[perm.col] = jnp.clip(va[perm.col] + du, LO, HI)
-                    else:
-                        va[perm.col] = va[perm.col] + du
+                    va[perm.col] = va[perm.col] + du
                     new_us[e] = u.astype(dtype)
                     new_tps[e] = t.astype(dtype)
 

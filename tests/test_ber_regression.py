@@ -51,9 +51,9 @@ CASES = {
 BAND = 2.0  # accept observed/expected frame errors in [1/BAND, BAND]
 
 
-def _anchors():
+def _anchors(path=ANCHOR_CSV):
     out = {}
-    with open(ANCHOR_CSV) as f:
+    with open(path) as f:
         for row in csv.reader(f):
             if not row or row[0].startswith("#"):
                 continue  # provenance/gating-eligibility header
@@ -103,6 +103,42 @@ LAYERED_CASES = {
     "TM2048": (1.4, 4096),
     "TM8192": (1.1, 2048),
 }
+
+
+I8_ANCHOR_CSV = ANCHOR_CSV.with_name("ber_regression_points_i8.csv")
+
+
+def test_ber_anchor_layered_int8():
+    """The PRODUCTION int8 path: anchor measured on real TPU with the
+    fused Pallas layered int8 kernel (tools/gen_ber_anchors.py --i8),
+    gated here through make_ms_decoder_layered(int8) — its bit-exact XLA
+    twin (tests/test_pallas.py pins bits/success/iterations equality), so
+    this rerun gates the kernel's saturating semantics without Mosaic.
+    Two-sided band as in test_ber_anchor (independent seed => sampling
+    noise only; a clip-placement regression lands far outside)."""
+    a = _anchors(I8_ANCHOR_CSV)[("TM8192", 1.1)]
+    ci_trials = 2048
+    expected_fe = a["frame_errors"] / a["trials"] * ci_trials
+    assert expected_fe >= 70
+
+    (pt,) = waterfall(
+        "TM8192", [1.1],
+        batch=ci_trials,
+        maxiters=100,
+        max_bits=1,
+        max_bit_errors=10**9,
+        noise_model="ebn0",
+        dtype_name="int8",
+        impl="layered",
+        seed=1,
+    )
+    assert pt.trials == ci_trials
+    lo, hi = expected_fe / BAND, expected_fe * BAND
+    assert lo <= pt.frame_errors <= hi, (
+        f"TM8192@1.1dB int8 layered: {pt.frame_errors} frame errors vs "
+        f"expected {expected_fe:.0f} [{lo:.0f}, {hi:.0f}] — the saturating "
+        f"int path's BER regressed"
+    )
 
 
 @pytest.mark.parametrize("code", list(LAYERED_CASES))

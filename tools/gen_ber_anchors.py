@@ -70,5 +70,40 @@ def main():
     print(f"wrote {len(rows)} anchors to {OUT}")
 
 
+OUT_I8 = OUT.with_name("ber_regression_points_i8.csv")
+
+
+def main_i8():
+    """Anchor the PRODUCTION int8 layered path (impl=pallas_layered,
+    dtype=int8, default quantizer scale 16) on the real TPU at the TM8192
+    flagship's mid-waterfall point. The CI gate reruns it with the XLA
+    layered int8 twin (make_ms_decoder_layered), which is pinned bit-exact
+    to this kernel (tests/test_pallas.py), so the anchor gates the Pallas
+    semantics without needing Mosaic in CI."""
+    rows = []
+    pts = waterfall(
+        "TM8192", [1.1], batch=4096, maxiters=100,
+        max_bits=16_000_000, max_bit_errors=5_000,
+        noise_model="ebn0", dtype_name="int8", impl="pallas_layered",
+        seed=0, verbose=True,
+    )
+    for p in pts:
+        rows.append(f"{p.csv()},ebn0,{p.frame_errors}")
+    header = (
+        "# int8 production-path anchor measured on real TPU\n"
+        "# (tools/gen_ber_anchors.py --i8; impl=pallas_layered, dtype=int8,\n"
+        "# llr_scale=16, maxiters=100, batch=4096, stop at 5k bit errors or\n"
+        "# 16M data bits, seed 0). Gated in tests/test_ber_regression.py via\n"
+        "# the bit-exact XLA layered int8 twin.\n"
+        "# Columns: code,snr_db,trials,data_bits,bit_errors,ber,noise_model,"
+        "frame_errors\n"
+    )
+    OUT_I8.write_text(header + "\n".join(rows) + "\n")
+    print(f"wrote {len(rows)} anchors to {OUT_I8}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--i8" in sys.argv:
+        main_i8()
+    else:
+        main()
