@@ -284,10 +284,20 @@ def make_two_stage_decoder(
     combined results.
 
     `fast_impl`/`rescue_impl` select the stage decoders through the shared
-    `_make_decoder` registry; on real TPU use
-    fast_impl="pallas_layered", rescue_impl="pallas_qc" to pair the fused
-    VMEM-resident kernels (measured vs the plain layered kernel in
-    benchmarks/results.jsonl, `two_stage` rows).
+    `_make_decoder` registry; on real TPU pair the fused kernels
+    (fast_impl="pallas_layered", rescue_impl="pallas_layered" for
+    bit-identical quality to a plain layered run at the rescue budget).
+
+    MEASURED DOMINATED on TPU (results.jsonl `decode_threshold` rows,
+    TM8192 B=16384): the plain pallas_layered kernel at maxiters=100 beats
+    every two-stage pairing at BOTH the threshold point (49.0k vs 35.9k
+    cw/s @1.1 dB, equal quality) and the sparse-straggler point (134.4k vs
+    111.0k @1.5 dB) — the Pallas kernels' PER-TILE early-exiting
+    while_loop already adapts the iteration budget at 64-codeword
+    granularity, which is the entire benefit a two-stage design buys, and
+    the host sync + rescue re-dispatch never pays for itself. Kept as a
+    harness utility (useful off-TPU where the XLA decoders have no
+    per-tile exit, and as the reference point for that claim).
 
     This is a host-orchestrated harness utility (two jit dispatches, data-
     dependent batch), not a jittable op.
@@ -298,37 +308,56 @@ def make_two_stage_decoder(
         code, jnp.dtype(rescue_dtype), maxiters_rescue, None, rescue_impl
     )
 
-    def decode(llrs):
-        import numpy as np
+    from ..ops.minsum import MSResult
 
-        res = fast(llrs)
-        success = np.asarray(res.success)
-        if success.all():
-            return res
-        bad = np.nonzero(~success)[0]
-        # pad the rescue batch to a power-of-two bucket to bound recompiles
-        pad = 1 << max(3, int(np.ceil(np.log2(len(bad)))))
-        idx = np.pad(bad, (0, pad - len(bad)), mode="edge")
-        r2 = rescue(jnp.asarray(np.asarray(llrs, dtype=np.float32)[idx]))
-        bits = np.asarray(res.bits).copy()
-        succ = success.copy()
-        iters = np.asarray(res.iterations).copy()
-        bits[bad] = np.asarray(r2.bits)[: len(bad)]
-        succ[bad] = np.asarray(r2.success)[: len(bad)]
-        # combined 0-based convergence iteration = fast-pass iterations
+    @jax.jit
+    def _gather(llrs, idx):
+        return jnp.take(llrs, idx, axis=0)
+
+    @jax.jit
+    def _combine(res, r2, idx):
+        # idx is the pow2-padded failure list; the padding duplicates the
+        # last failed frame, whose rescue rows are identical decodes of the
+        # same input, so duplicate scatters are value-identical (set: last
+        # wins; the iteration sum is computed per entry BEFORE the scatter,
+        # never accumulated through it).
+        #
+        # Combined 0-based convergence iteration = fast-pass iterations
         # actually consumed (== res.iterations for failed frames: the
         # while_loop only stops early when EVERY frame converged, so a
         # failed frame always reports maxiters_fast — but read it from the
         # result rather than assuming, keeping the reference's
         # decoder.rs:347-351 "(success, iters)" contract exact) plus the
         # rescue pass's 0-based convergence iteration.
-        iters[bad] = iters[bad] + np.asarray(r2.iterations)[: len(bad)]
-        from ..ops.minsum import MSResult
-
         return MSResult(
-            success=jnp.asarray(succ),
-            iterations=jnp.asarray(iters),
-            bits=jnp.asarray(bits),
+            success=res.success.at[idx].set(r2.success),
+            iterations=res.iterations.at[idx].set(
+                res.iterations[idx] + r2.iterations
+            ),
+            bits=res.bits.at[idx].set(r2.bits),
         )
+
+    def decode(llrs):
+        import numpy as np
+
+        llrs = jnp.asarray(llrs)
+        res = fast(llrs)
+        # the ONLY device->host transfer: the (B,) success mask (a
+        # necessary sync point of the host-orchestrated design). The
+        # gather of failed frames, the rescue feed, and the
+        # scatter-combine are jitted device programs (cached per pow2
+        # failure bucket) — fetching LLRs/bits to the host, or issuing
+        # eager scatter ops, costs a ~30-45 ms dispatch round trip EACH
+        # through this environment's tunnel (measured 140x slowdown for
+        # the fetch-everything version).
+        success = np.asarray(res.success)
+        if success.all():
+            return res
+        bad = np.nonzero(~success)[0]
+        # pad the rescue batch to a power-of-two bucket to bound recompiles
+        pad = 1 << max(3, int(np.ceil(np.log2(len(bad)))))
+        idx = jnp.asarray(np.pad(bad, (0, pad - len(bad)), mode="edge"))
+        r2 = rescue(_gather(llrs, idx))
+        return _combine(res, r2, idx)
 
     return decode
