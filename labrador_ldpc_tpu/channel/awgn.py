@@ -40,11 +40,12 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     sublane-roll kernels — the fastest paths on real TPU hardware;
     int8/int16 run the saturating semantics via exact f32 clips).
 
-    Dtype guidance: f32 is the production dtype. bf16 is supported but
-    measured DOMINATED by f32 inside the Pallas kernels (15-25% slower on
-    the heavy TM codes; see ops/pallas_qc._default_batch_tile); int8/int16
-    match the reference's saturating arithmetic for quantized-LLR front
-    ends.
+    Dtype guidance (measured; ops/pallas_qc._default_batch_tile carries
+    the sweeps): f32 is the production dtype for most codes; bf16 wins
+    1.17-1.48x on TM1280/TM1536 (data-motion-bound masked-roll kernels)
+    and loses 8-24% elsewhere (issue-bound); int8/int16 run saturating
+    semantics for quantized-LLR front ends (flooding: reference-exact;
+    layered: wide-accumulator redesign, see make_ms_decoder_layered).
 
     Raises ValueError with an explicit message on unsupported dtype/impl
     combinations instead of failing deep inside the decoder builders.

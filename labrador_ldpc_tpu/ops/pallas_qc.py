@@ -184,16 +184,23 @@ def _default_batch_tile(M: int, sumA: int) -> int:
     The sweet spot balances per-tile fixed cost against VMEM pressure
     (message planes scale with sumA*B*M*itemsize of the storage dtype).
 
-    bf16 storage halves the u/t'/posterior planes, but a storage-aware 2x
-    tile does NOT help: measured on v5e (steady-state probe, B=16384,
-    20 iters, pipelined), bf16 layered TM5120 tile 64/128/256 =
-    6.24/6.19/5.95M cw*iter/s vs f32 6.63M; TM6144 5.10/5.06/4.93 vs
-    5.81M; TM8192 3.39/3.53/fails-to-compile vs f32 4.73M. The per-step
-    bf16<->f32 converts dominate the halved footprint, and throughput at
-    these sizes is pipelining/fixed-cost bound, not VMEM bound — so bf16
-    keeps the f32 tiles and is documented as DOMINATED by f32 for compute
-    (docs/API.md): use bf16 only when the surrounding pipeline already
-    holds bf16 LLRs."""
+    bf16 storage halves the u/t'/posterior planes. Whether that pays is
+    REGIME-dependent (full sweep: results.jsonl ms_iter[pallas_*] rows):
+
+      * M=128/256 (TM1280/TM1536, masked/sub-tile roll kernels — data
+        motion bound): bf16 WINS 1.17-1.48x (TM1280 qc 14.2M vs 9.6M
+        cw*iter/s) — halving the bytes the rolls/selects move dominates.
+      * M>=512 (slice-roll kernels — VPU issue bound) and the TC
+        transposed kernels: bf16 LOSES 8-24% (TM8192 layered 4.13M vs
+        5.05M) — the per-step bf16<->f32 converts outweigh the footprint.
+      * A storage-aware 2x tile does NOT rescue the heavy codes: bf16
+        layered TM5120 tile 64/128/256 = 6.24/6.19/5.95M vs f32 6.63M;
+        TM8192 3.39/3.53/fails-to-compile vs f32 4.73M (tile-sweep probe)
+        — throughput there is issue/pipelining bound, not VMEM bound.
+
+    So bf16 keeps the f32 tiles; dtype guidance lives in docs/API.md
+    (bf16 for TM1280/TM1536 throughput, f32 everywhere else unless the
+    surrounding pipeline already holds bf16 LLRs)."""
     if M == 128:
         return 128
     if M == 256:
