@@ -24,8 +24,8 @@ def _cmd_waterfall(args) -> int:
         raise SystemExit("error: --impl qc_i8 requires --dtype int8")
     if args.impl == "qc_i16" and args.dtype != "int16":
         raise SystemExit("error: --impl qc_i16 requires --dtype int16")
-    if args.dtype == "int32" and args.impl != "ref":
-        raise SystemExit("error: --dtype int32 requires --impl ref")
+    if args.dtype == "int32" and args.impl not in ("ref", "auto"):
+        raise SystemExit("error: --dtype int32 requires --impl ref (or auto)")
 
     if args.snrs:
         snrs = [float(s) for s in args.snrs.split(",")]
@@ -83,7 +83,7 @@ def main(argv=None) -> int:
     w.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16", "float64", "int8", "int16", "int32"])
     w.add_argument("--alpha", type=float, default=None, help="normalized min-sum factor")
-    w.add_argument("--impl", choices=["ref", "qc", "layered", "qc_i8", "qc_i16",
+    w.add_argument("--impl", choices=["auto", "ref", "qc", "layered", "qc_i8", "qc_i16",
                                       "pallas_qc", "pallas_layered"],
                    default="qc", help="int dtypes with 'qc' route to the saturating QC int path")
     w.add_argument("--llr-scale", type=float, default=None,

@@ -32,7 +32,9 @@ _INT_DTYPES = ("int8", "int16")
 
 
 def _make_decoder(code, dtype, maxiters, alpha, impl: str):
-    """Select the min-sum implementation: "ref" (reference-order XLA),
+    """Select the min-sum implementation: "auto" (measured-best production
+    path for the build-time backend — see the routing comment in the
+    body), "ref" (reference-order XLA),
     "qc" (roll-based XLA; int dtypes route to the saturating QC int path),
     "layered" (row-layered schedule), "qc_i8"/"qc_i16" (explicit saturating
     QC int paths), or "pallas_qc"/"pallas_layered" (VMEM-resident fused
@@ -52,6 +54,26 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     """
     dtype = jnp.dtype(dtype)
     is_int = dtype.name in ("int8", "int16", "int32")
+    if impl == "auto":
+        # measured-best production schedule per code/backend (results.jsonl
+        # decode_ms/ms_iter rows): on TPU the fused Pallas kernels, with
+        # flooding on TM1280 (its masked-roll layered syndrome pass is not
+        # free, so pallas_qc wins 2.07M vs 1.81M cw/s) and layered
+        # everywhere else; off-TPU (or f64/int32, which Mosaic doesn't
+        # take) the XLA layered path, falling back to reference-order for
+        # int32. Resolved at build time from jax.default_backend().
+        import jax as _jax
+
+        code_name = get_code(code).name
+        if (
+            _jax.default_backend() == "tpu"
+            and dtype.name in ("float32", "bfloat16", "int8", "int16")
+        ):
+            impl = "pallas_qc" if code_name == "TM1280" else "pallas_layered"
+        elif dtype.name == "int32":
+            impl = "ref"
+        else:
+            impl = "layered"
     if impl == "ref":
         return make_ms_decoder(code, dtype, maxiters, alpha)
     if impl in ("qc", "qc_i8", "qc_i16"):
@@ -102,7 +124,7 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
         return make_ms_decoder_pallas_layered(code, dtype, maxiters, alpha)
     raise ValueError(
         f"unknown decoder impl {impl!r} "
-        "(ref|qc|layered|qc_i8|qc_i16|pallas_qc|pallas_layered)"
+        "(auto|ref|qc|layered|qc_i8|qc_i16|pallas_qc|pallas_layered)"
     )
 
 

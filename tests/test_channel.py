@@ -146,6 +146,39 @@ def test_int_trial_step_rejects_bad_combos():
         _make_decoder(get_code("TC128"), jnp.int32, 10, None, "qc")
 
 
+def test_auto_impl_routing():
+    """impl='auto' resolves to the measured-best path for the build-time
+    backend: on this CPU backend that is the XLA layered decoder for
+    f32/bf16/int8/int16 and reference-order for int32 (on TPU it resolves
+    to the fused Pallas kernels — flooding for TM1280, layered otherwise;
+    exercised by the bench/parity sessions)."""
+    from labrador_ldpc_tpu.channel import quantize_llrs
+    from labrador_ldpc_tpu.channel.awgn import _make_decoder
+    from labrador_ldpc_tpu.ops.encoder import encode_bits
+    from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_layered
+
+    c = get_code("TC128")
+    rng = np.random.default_rng(31)
+    data = rng.integers(0, 2, (8, c.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(c, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float32)
+    noisy = jnp.asarray(tx + 0.5 * rng.standard_normal(tx.shape).astype(np.float32))
+
+    r_auto = _make_decoder(c, jnp.float32, 20, None, "auto")(noisy)
+    r_lay = make_ms_decoder_layered(c, jnp.float32, 20)(noisy)
+    assert np.array_equal(np.asarray(r_auto.bits), np.asarray(r_lay.bits))
+    assert np.array_equal(np.asarray(r_auto.iterations), np.asarray(r_lay.iterations))
+
+    lq = quantize_llrs(noisy, jnp.int8)
+    r_i = _make_decoder(c, jnp.int8, 20, None, "auto")(lq)
+    r_il = make_ms_decoder_layered(c, jnp.int8, 20)(lq)
+    assert np.array_equal(np.asarray(r_i.bits), np.asarray(r_il.bits))
+
+    # int32 falls back to the reference-order path (the only int32 impl)
+    r32 = _make_decoder(c, jnp.int32, 10, None, "auto")(lq.astype(jnp.int32))
+    assert r32.bits.shape[1] >= c.n
+
+
 def test_cli_validates_impl_dtype():
     from labrador_ldpc_tpu.__main__ import main
 
