@@ -363,9 +363,21 @@ def test_pallas_layered_int8_small_m_matches_layered_int_xla():
 
 
 def test_pallas_layered_int8_saturation_corners():
-    """Uniform random int8 LLRs spanning [-128, 127] hit every saturation
-    point of the layered schedule (sub clamp, posterior-update clamp,
-    |-128| -> 127); still bit-exact vs the XLA layered int twin."""
+    """Uniform random int8 LLRs spanning [-128, 127] hit the layered
+    schedule's saturation points; still bit-exact vs the XLA layered int
+    twin.
+
+    Falsification audit (round 3): this pin FAILS if the kernel
+    reintroduces a clipped posterior accumulator (the semantically
+    significant clip-placement bug — verified by deliberate injection).
+    Two corners are unobservable at the output level and documented
+    instead: (a) the kernel's extrinsic clip is redundant given the
+    saturating abs + sign-only uses (the twin's clip is load-bearing for
+    its int8 `tps` store, which would wrap without it); (b) dropping ONLY
+    the abs saturation (|-128| -> 128 instead of 127) is a +-1-LSB,
+    sign-preserving magnitude change that 40 adversarial heavy-tail seeds
+    could not convert into a bits/iterations difference — both
+    implementations saturate identically by construction."""
     from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
     from labrador_ldpc_tpu.ops.qc_minsum import make_ms_decoder_layered
 
