@@ -85,7 +85,10 @@ def main(argv=None) -> int:
     w.add_argument("--alpha", type=float, default=None, help="normalized min-sum factor")
     w.add_argument("--impl", choices=["auto", "ref", "qc", "layered", "qc_i8", "qc_i16",
                                       "pallas_qc", "pallas_layered"],
-                   default="qc", help="int dtypes with 'qc' route to the saturating QC int path")
+                   default="auto",
+                   help="decoder implementation (default auto: the measured-best "
+                        "production path — fused Pallas kernels on TPU; int dtypes "
+                        "with 'qc' route to the saturating QC int path)")
     w.add_argument("--llr-scale", type=float, default=None,
                    help="int-LLR quantizer scale (default: 16 for int8, 256 for int16)")
     w.add_argument("--seed", type=int, default=0)

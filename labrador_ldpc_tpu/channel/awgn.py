@@ -31,10 +31,54 @@ from ..ops.minsum import MSResult, make_ms_decoder
 _INT_DTYPES = ("int8", "int16")
 
 
+def resolve_impl(code, dtype, impl: str, backend: str | None = None) -> str:
+    """Resolve impl="auto" to a concrete implementation name.
+
+    The measured-best production schedule per code/backend (results.jsonl
+    decode_ms/ms_iter rows): on TPU the fused Pallas kernels, with flooding
+    on TM1280 (its masked-roll layered syndrome pass is not free, so
+    pallas_qc wins 2.07M vs 1.81M cw/s) and layered everywhere else;
+    off-TPU (or f64/int32, which Mosaic doesn't take) the XLA layered
+    path, falling back to reference-order for int32. `backend` defaults to
+    `jax.default_backend()` and exists so tests can pin the TPU routing
+    table off-TPU.
+
+    Concrete impl names pass through unchanged, so callers (make_trial_step,
+    decode_ms) can resolve ONCE and key caches / shard_map decisions on the
+    concrete name — a pallas_call is opaque to the GSPMD partitioner, so
+    "is this a Pallas impl" must be asked about the RESOLVED impl, never
+    the literal string "auto" (ADVICE r3 medium).
+
+    Emits one-time dtype guidance where a different dtype is measured
+    faster (bf16 wins 1.17-1.48x on TM1280/TM1536's data-motion-bound
+    masked-roll kernels; it loses 8-24% on every other code).
+    """
+    if impl != "auto":
+        return impl
+    dtype = jnp.dtype(dtype)
+    if backend is None:
+        backend = jax.default_backend()
+    code_name = get_code(code).name
+    if backend == "tpu" and dtype.name in ("float32", "bfloat16", "int8", "int16"):
+        if dtype.name == "float32" and code_name in ("TM1280", "TM1536"):
+            import warnings
+
+            warnings.warn(
+                f"{code_name} decodes 1.17-1.48x faster with bfloat16 LLRs "
+                "on TPU (measured, benchmarks/results.jsonl); pass "
+                "dtype=bfloat16 if your front end allows it",
+                stacklevel=3,
+            )
+        return "pallas_qc" if code_name == "TM1280" else "pallas_layered"
+    if dtype.name == "int32":
+        return "ref"
+    return "layered"
+
+
 def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     """Select the min-sum implementation: "auto" (measured-best production
-    path for the build-time backend — see the routing comment in the
-    body), "ref" (reference-order XLA),
+    path for the build-time backend — see `resolve_impl`), "ref"
+    (reference-order XLA),
     "qc" (roll-based XLA; int dtypes route to the saturating QC int path),
     "layered" (row-layered schedule), "qc_i8"/"qc_i16" (explicit saturating
     QC int paths), or "pallas_qc"/"pallas_layered" (VMEM-resident fused
@@ -54,26 +98,7 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     """
     dtype = jnp.dtype(dtype)
     is_int = dtype.name in ("int8", "int16", "int32")
-    if impl == "auto":
-        # measured-best production schedule per code/backend (results.jsonl
-        # decode_ms/ms_iter rows): on TPU the fused Pallas kernels, with
-        # flooding on TM1280 (its masked-roll layered syndrome pass is not
-        # free, so pallas_qc wins 2.07M vs 1.81M cw/s) and layered
-        # everywhere else; off-TPU (or f64/int32, which Mosaic doesn't
-        # take) the XLA layered path, falling back to reference-order for
-        # int32. Resolved at build time from jax.default_backend().
-        import jax as _jax
-
-        code_name = get_code(code).name
-        if (
-            _jax.default_backend() == "tpu"
-            and dtype.name in ("float32", "bfloat16", "int8", "int16")
-        ):
-            impl = "pallas_qc" if code_name == "TM1280" else "pallas_layered"
-        elif dtype.name == "int32":
-            impl = "ref"
-        else:
-            impl = "layered"
+    impl = resolve_impl(code, dtype, impl)
     if impl == "ref":
         return make_ms_decoder(code, dtype, maxiters, alpha)
     if impl in ("qc", "qc_i8", "qc_i16"):
@@ -163,6 +188,7 @@ __all__ = [
     "make_two_stage_decoder",
     "noise_sigma",
     "quantize_llrs",
+    "resolve_impl",
 ]
 
 
@@ -226,7 +252,7 @@ def make_trial_step(
     maxiters: int = 100,
     dtype_name: str = "float32",
     alpha: float | None = None,
-    impl: str = "qc",
+    impl: str = "auto",
     llr_scale: float | None = None,
     mesh=None,
 ):
@@ -249,6 +275,11 @@ def make_trial_step(
     p = code.params
     dtype = jnp.dtype(dtype_name)
     is_int = dtype.name in _INT_DTYPES
+    # resolve "auto" to its concrete name FIRST: the shard_map decision
+    # below must see the real impl (auto resolves to a Pallas kernel on
+    # TPU, and an un-shard_mapped pallas_call would run replicated on
+    # every device of the mesh — ADVICE r3 medium)
+    impl = resolve_impl(code, dtype, impl)
     decoder = _make_decoder(code, dtype, maxiters, alpha, impl)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -130,7 +130,7 @@ def waterfall(
     noise_model: str = "perftest",
     dtype_name: str = "float32",
     alpha: float | None = None,
-    impl: str = "qc",
+    impl: str = "auto",
     llr_scale: float | None = None,
     mesh=None,
     seed: int = 0,
@@ -172,6 +172,12 @@ def waterfall(
     """
     code = get_code(code)
     k = code.k
+    # resolve "auto" here so the checkpoint config below records the
+    # CONCRETE impl (a checkpoint written on TPU must not silently resume
+    # onto a different decoder off-TPU)
+    from .awgn import resolve_impl
+
+    impl = resolve_impl(code, dtype_name, impl)
     step = make_trial_step(code, batch, maxiters, dtype_name, alpha, impl, llr_scale, mesh)
     key = jax.random.PRNGKey(seed)
     ckpt = None

@@ -75,7 +75,10 @@ def encode_onto(code: LDPCCode | str, codeword_bytes: jnp.ndarray) -> jnp.ndarra
     assert codeword_bytes.shape[-1] == p.n // 8, (
         f"codeword buffer must be (B, {p.n // 8}) packed bytes"
     )
-    return encode(code, codeword_bytes[:, : p.k // 8])
+    # last-axis slice: encode/pack_bits are last-axis ops, so a single
+    # unbatched (n/8,) buffer works too (the reference's in-place encode
+    # takes one codeword, encoder.rs:293)
+    return encode(code, codeword_bytes[..., : p.k // 8])
 
 
 @lru_cache(maxsize=None)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..codes.params import LDPCCode, get_code
-from ..channel.awgn import _make_decoder, make_trial_step
+from ..channel.awgn import _make_decoder, make_trial_step, resolve_impl
 
 __all__ = ["make_batch_mesh", "batch_sharding", "make_sharded_decoder", "make_sharded_trial_step"]
 
@@ -48,17 +48,21 @@ def make_sharded_decoder(
     dtype=jnp.float32,
     maxiters: int = 20,
     alpha: float | None = None,
-    impl: str = "qc",
+    impl: str = "auto",
 ):
     """Batched min-sum decoder with the batch sharded over the mesh.
 
     Returns fn(llrs: (B, n)) -> MSResult with B divisible by mesh size.
     Each shard decodes independently; only the while_loop's global
     all-done predicate crosses chips (a tiny boolean all-reduce).
-    `impl` selects the implementation (see channel.awgn._make_decoder);
-    int dtypes route to the saturating QC int path.
+    `impl` selects the implementation (default "auto" = the measured-best
+    production path, see channel.awgn.resolve_impl); int dtypes route to
+    the saturating QC int path.
     """
     code = get_code(code)
+    # resolve "auto" BEFORE the Pallas check: the shard_map decision must
+    # see the concrete impl name (ADVICE r3 medium)
+    impl = resolve_impl(code, jnp.dtype(dtype), impl)
     decoder = _make_decoder(code, jnp.dtype(dtype), maxiters, alpha, impl)
     if impl.startswith("pallas"):
         # pallas_call is opaque to the GSPMD partitioner (it would be
@@ -82,7 +86,7 @@ def make_sharded_trial_step(
     maxiters: int = 100,
     dtype=jnp.float32,
     alpha: float | None = None,
-    impl: str = "qc",
+    impl: str = "auto",
     llr_scale: float | None = None,
 ):
     """End-to-end sharded channel trial step.

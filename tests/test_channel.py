@@ -179,6 +179,53 @@ def test_auto_impl_routing():
     assert r32.bits.shape[1] >= c.n
 
 
+def test_resolve_impl_routing_table():
+    """Pin the production routing table (VERDICT r3 item 1): 'auto' is the
+    default everywhere and must resolve to the measured-best path per
+    backend. The TPU rows are pinned via the explicit backend= arg so the
+    table is testable off-TPU; live-TPU behavior is exercised by the
+    bench/parity sessions."""
+    from labrador_ldpc_tpu.channel.awgn import resolve_impl
+
+    # TPU: the fused Pallas kernels; TM1280 floods (its masked-roll layered
+    # syndrome pass is measured slower), everything else layered
+    assert resolve_impl("TM8192", "float32", "auto", backend="tpu") == "pallas_layered"
+    assert resolve_impl("TM1280", "bfloat16", "auto", backend="tpu") == "pallas_qc"
+    assert resolve_impl("TC512", "int8", "auto", backend="tpu") == "pallas_layered"
+    assert resolve_impl("TM2048", "int16", "auto", backend="tpu") == "pallas_layered"
+    # Mosaic takes neither f64 nor int32: XLA layered / reference-order
+    assert resolve_impl("TM8192", "float64", "auto", backend="tpu") == "layered"
+    assert resolve_impl("TM8192", "int32", "auto", backend="tpu") == "ref"
+    # off-TPU: XLA layered, reference-order for int32
+    assert resolve_impl("TM8192", "float32", "auto", backend="cpu") == "layered"
+    assert resolve_impl("TC128", "int32", "auto", backend="cpu") == "ref"
+    # concrete names pass through untouched (callers key caches and the
+    # shard_map decision on the resolved name)
+    assert resolve_impl("TC128", "float32", "qc", backend="tpu") == "qc"
+    assert resolve_impl("TM1280", "float32", "pallas_layered", backend="tpu") == "pallas_layered"
+
+
+def test_resolve_impl_bf16_guidance():
+    """TM1280/TM1536 + f32 on TPU emit the one-time measured-dtype hint
+    (bf16 wins 1.17-1.48x there); no other combination warns."""
+    import warnings
+
+    from labrador_ldpc_tpu.channel.awgn import resolve_impl
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert resolve_impl("TM1280", "float32", "auto", backend="tpu") == "pallas_qc"
+        assert resolve_impl("TM1536", "float32", "auto", backend="tpu") == "pallas_layered"
+    assert sum("bfloat16" in str(w.message) for w in rec) == 2
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        resolve_impl("TM1280", "bfloat16", "auto", backend="tpu")  # already bf16
+        resolve_impl("TM8192", "float32", "auto", backend="tpu")  # f32 wins here
+        resolve_impl("TM1280", "float32", "auto", backend="cpu")  # not the TPU kernels
+        resolve_impl("TM1280", "float32", "pallas_qc", backend="tpu")  # explicit impl
+    assert not rec
+
+
 def test_cli_validates_impl_dtype():
     from labrador_ldpc_tpu.__main__ import main
 

@@ -6,6 +6,7 @@ bf16, prints cw/s for the XLA qc path and each Pallas batch-tile size.
 """
 
 import sys
+import os
 import time
 from pathlib import Path
 
@@ -13,7 +14,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp

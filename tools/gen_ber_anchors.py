@@ -10,13 +10,14 @@ Run on the real TPU: python tools/gen_ber_anchors.py
 """
 
 import sys
+import os
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 from labrador_ldpc_tpu.channel import waterfall
@@ -102,8 +103,47 @@ def main_i8():
     print(f"wrote {len(rows)} anchors to {OUT_I8}")
 
 
+OUT_I8_FLOOD = OUT.with_name("ber_regression_points_i8_flooding.csv")
+
+
+def main_i8_flooding():
+    """Anchor the FLOODING int8 path (reference clamp-everywhere
+    semantics — decoder.rs:42-55 — which the native scalar codec also
+    implements) at the TM8192 mid-waterfall point, WITH frame errors.
+
+    This is the TPU-side row the independent-executor cross-check
+    (tools/native_crosscheck.py, tm8192_i8 anchor) is compared against in
+    tests/test_ber_regression.py::test_native_crosscheck_agreement: the
+    redesigned wide-accumulator LAYERED int8 anchor (--i8) is deliberately
+    ~2x better and must NOT be used for that comparison. Runs the Pallas
+    flooding int8 kernel, pinned bit-exact to the XLA qc_int twin by
+    tools/tpu_parity.py."""
+    pts = waterfall(
+        "TM8192", [1.1], batch=4096, maxiters=100,
+        max_bits=33_554_432, max_bit_errors=10**9,
+        noise_model="ebn0", dtype_name="int8", impl="pallas_qc",
+        seed=0, verbose=True,
+    )
+    rows = [f"{p.csv()},ebn0,{p.frame_errors}" for p in pts]
+    header = (
+        "# int8 FLOODING-path anchor measured on real TPU\n"
+        "# (tools/gen_ber_anchors.py --i8-flooding; impl=pallas_qc,\n"
+        "# dtype=int8, llr_scale=16, maxiters=100, batch=4096, 8192 trials,\n"
+        "# seed 0). Reference clamp-everywhere semantics - the comparison\n"
+        "# row for the native-codec cross-check (test_native_crosscheck_\n"
+        "# agreement), NOT a production anchor (the layered redesign in\n"
+        "# ber_regression_points_i8.csv is the production int8 path).\n"
+        "# Columns: code,snr_db,trials,data_bits,bit_errors,ber,noise_model,"
+        "frame_errors\n"
+    )
+    OUT_I8_FLOOD.write_text(header + "\n".join(rows) + "\n")
+    print(f"wrote {len(rows)} anchors to {OUT_I8_FLOOD}")
+
+
 if __name__ == "__main__":
-    if "--i8" in sys.argv:
+    if "--i8-flooding" in sys.argv:
+        main_i8_flooding()
+    elif "--i8" in sys.argv:
         main_i8()
     else:
         main()

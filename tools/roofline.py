@@ -28,6 +28,7 @@ annotated with the statement it counts).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -36,7 +37,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
 
 import jax.numpy as jnp
 import numpy as np

@@ -30,6 +30,7 @@ Results are recorded in STATUS.md ("multi-host scaling rehearsal").
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import socket
 import subprocess
@@ -120,7 +121,7 @@ def mode_cpu2proc(pin: bool = True) -> int:
 def mode_tpu_wrapper() -> int:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
     import jax.numpy as jnp
     import numpy as np
 

@@ -38,6 +38,7 @@ Exit code 0 only if every check passed.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -47,7 +48,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp
