@@ -91,6 +91,21 @@ def _timeit(fn, reps=5):
 
 PIPELINE = 8
 
+# The production paths: a SKIP (compile failure, convergence anomaly, or
+# any exception) in one of these is a real regression, not a benchmark
+# hole. --strict turns such SKIPs into a nonzero exit (VERDICT r3 item 5:
+# "a Mosaic compile or semantics regression in any production kernel must
+# fail a recorded artifact the same day it lands").
+PRODUCTION_IMPLS = {"pallas_qc", "pallas_layered"}
+STRICT_VIOLATIONS: list[str] = []
+
+
+def _skip(label, code_name, reason, impl=None):
+    msg = f"{label} {code_name}: SKIP ({reason})"
+    print(msg)
+    if impl in PRODUCTION_IMPLS or (impl is None and "pallas" in label):
+        STRICT_VIOLATIONS.append(msg)
+
 
 def bench_all(codes, impls, base_batch, reps, results):
     import jax
@@ -145,15 +160,23 @@ def bench_all(codes, impls, base_batch, reps, results):
         # path on-device before timing ----------------------------------
         from labrador_ldpc_tpu.ops.pallas_bf import make_bf_decoder_pallas
 
-        bfp = make_bf_decoder_pallas(code, maxiters=50)
-        res_p = bfp(bits)
-        _sync(res_p)
-        res_q = bf(bits)
-        assert np.array_equal(np.asarray(res_p.bits), np.asarray(res_q.bits))
-        assert np.array_equal(np.asarray(res_p.iterations),
-                              np.asarray(res_q.iterations))
-        t = _timeit(lambda: bfp(bits), reps)
-        record("decode_bf[pallas]", name, batch / t, "cw/s", maxiters=50)
+        try:
+            bfp = make_bf_decoder_pallas(code, maxiters=50)
+            res_p = bfp(bits)
+            _sync(res_p)
+            res_q = bf(bits)
+            bits_eq = np.array_equal(np.asarray(res_p.bits), np.asarray(res_q.bits))
+            iters_eq = np.array_equal(np.asarray(res_p.iterations),
+                                      np.asarray(res_q.iterations))
+        except Exception as e:  # noqa: BLE001 - report and continue
+            _skip("decode_bf[pallas]", name, f"{type(e).__name__}: {e}")
+        else:
+            if not (bits_eq and iters_eq):
+                _skip("decode_bf[pallas]", name,
+                      "failed the on-device bit-exactness assert vs the XLA QC path")
+            else:
+                t = _timeit(lambda: bfp(bits), reps)
+                record("decode_bf[pallas]", name, batch / t, "cw/s", maxiters=50)
 
         # --- steady-state bf per-iteration rate ----------------------------
         # uniform-random bits (almost) never satisfy all checks, so the
@@ -173,11 +196,11 @@ def bench_all(codes, impls, base_batch, reps, results):
                 res = dec(rand_bits)
                 _sync(res)
             except Exception as e:  # noqa: BLE001 - report and continue
-                print(f"{label} {name}: SKIP ({type(e).__name__})")
+                _skip(label, name, f"{type(e).__name__}: {e}")
                 continue
             conv = float(np.asarray(res.success).mean())
             if conv > 0.05:
-                print(f"{label} {name}: SKIP (random bits converged {conv:.0%})")
+                _skip(label, name, f"random bits converged {conv:.0%}")
                 continue
             t = _timeit(lambda: dec(rand_bits), reps)
             record(label, name, batch * bf_iters / t, "cw_iter/s",
@@ -192,9 +215,13 @@ def bench_all(codes, impls, base_batch, reps, results):
                 res = dec(llrs)
                 _sync(res)
             except Exception as e:  # noqa: BLE001 - report and continue
-                print(f"decode_ms[{impl},{dtype_name}] {name}: SKIP ({type(e).__name__})")
+                _skip(f"decode_ms[{impl},{dtype_name}]", name,
+                      f"{type(e).__name__}: {e}", impl=impl)
                 continue
-            assert bool(np.asarray(res.success).all()), f"{impl} failed to decode"
+            if not bool(np.asarray(res.success).all()):
+                _skip(f"decode_ms[{impl},{dtype_name}]", name,
+                      "failed the 3-bit-flip convergence assert", impl=impl)
+                continue
             t = _timeit(lambda: dec(llrs), reps)
             record(f"decode_ms[{impl},{dtype_name}]", name, batch / t, "cw/s",
                    maxiters=50, impl=impl, dtype=dtype_name)
@@ -220,12 +247,13 @@ def bench_all(codes, impls, base_batch, reps, results):
                 res = dec(noise_d)
                 _sync(res)
             except Exception as e:  # noqa: BLE001 - report and continue
-                print(f"ms_iter[{impl},{dtype_name}] {name}: SKIP ({type(e).__name__})")
+                _skip(f"ms_iter[{impl},{dtype_name}]", name,
+                      f"{type(e).__name__}: {e}", impl=impl)
                 continue
             conv = float(np.asarray(res.success).mean())
             if conv > 0.05:
-                print(f"ms_iter[{impl},{dtype_name}] {name}: "
-                      f"SKIP (noise converged {conv:.0%})")
+                _skip(f"ms_iter[{impl},{dtype_name}]", name,
+                      f"noise converged {conv:.0%}", impl=impl)
                 continue
             t = _timeit(lambda: dec(noise_d), reps)
             record(f"ms_iter[{impl},{dtype_name}]", name,
@@ -347,8 +375,34 @@ def main() -> int:
     ap.add_argument("--no-capi", action="store_true")
     ap.add_argument("--two-stage", action="store_true",
                     help="run the TM8192 threshold-SNR two-stage comparison")
+    ap.add_argument("--strict", action="store_true",
+                    help="exit nonzero if any PRODUCTION impl (the Pallas "
+                         "kernels) SKIPs or fails its convergence/equality "
+                         "assert — a sweep hole in a production path is a "
+                         "regression, not a missing number")
+    ap.add_argument("--parity-first", action="store_true",
+                    help="run tools/tpu_parity.py --quick before the sweep "
+                         "and record its exit code in the session log "
+                         "(nonzero parity fails the run under --strict)")
     ap.add_argument("--out", default=str(Path(__file__).parent / "results.jsonl"))
     args = ap.parse_args()
+
+    parity_rc = None
+    if args.parity_first:
+        import subprocess
+
+        root = Path(__file__).resolve().parent.parent
+        proc = subprocess.run(
+            [sys.executable, str(root / "tools" / "tpu_parity.py"), "--quick"],
+            capture_output=True, text=True,
+        )
+        parity_rc = proc.returncode
+        tail = "\n".join(proc.stdout.splitlines()[-3:])
+        print(f"tpu_parity --quick rc={parity_rc}\n{tail}")
+        if parity_rc != 0:
+            STRICT_VIOLATIONS.append(
+                f"tpu_parity --quick exited {parity_rc}: {tail}"
+            )
 
     from labrador_ldpc_tpu.codes.params import ALL_CODES
 
@@ -389,6 +443,9 @@ def main() -> int:
 
     results = _Sink()
     try:
+        if parity_rc is not None:
+            results.append(dict(bench="tpu_parity_quick", code="ALL",
+                                value=parity_rc, unit="exit_code"))
         if args.two_stage:
             bench_two_stage(results)
             return 0
@@ -398,6 +455,12 @@ def main() -> int:
     finally:
         out_f.close()
         print(f"\n{written} results appended to {args.out}")
+    if STRICT_VIOLATIONS:
+        print(f"\n{len(STRICT_VIOLATIONS)} production-path violation(s):")
+        for v in STRICT_VIOLATIONS:
+            print(f"  {v}")
+        if args.strict:
+            return 1
     return 0
 
 
