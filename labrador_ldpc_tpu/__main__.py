@@ -65,6 +65,15 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_sizes(args) -> int:
+    from .sizes import format_memory_table, format_reference_table
+
+    print(format_memory_table())
+    print()
+    print(format_reference_table())
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="labrador_ldpc_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -100,6 +109,11 @@ def main(argv=None) -> int:
 
     i = sub.add_parser("info", help="print the code registry table")
     i.set_defaults(fn=_cmd_info)
+
+    sz = sub.add_parser(
+        "sizes", help="per-code VMEM/HBM memory tables (docs/MEMORY.md)"
+    )
+    sz.set_defaults(fn=_cmd_sizes)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..codes.expand import qc_structure
 from ..codes.params import LDPCCode, get_code
+from ..sizes import bf_scratch_specs
 from .bitflip import BFResult
 from .pallas_qc import _static_perm_fns
 
@@ -231,11 +232,10 @@ def make_bf_decoder_pallas(
                 pl.BlockSpec((B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
+            # shapes sourced from sizes.py (sizes.bf_scratch_specs)
             scratch_shapes=[
-                pltpu.VMEM((B, V), f32),
-                pltpu.VMEM((B, V), f32),
-                pltpu.VMEM((B, 1), f32),
-                pltpu.VMEM((B, 1), jnp.int32),
+                pltpu.VMEM(sh, dt)
+                for sh, dt in bf_scratch_specs(V, B, node_major=False)
             ],
         )
         return pl.pallas_call(

@@ -68,6 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..codes.expand import qc_structure
 from ..codes.params import LDPCCode, get_code
+from ..sizes import ms_flooding_scratch_specs, ms_layered_scratch_specs
 from .minsum import MSResult
 
 __all__ = ["make_ms_decoder_pallas_qc", "make_ms_decoder_pallas_layered"]
@@ -598,15 +599,13 @@ def make_ms_decoder_pallas_qc(
                 pl.BlockSpec((B, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((B, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             ],
+            # shapes sourced from sizes.py — the memory-table single source
+            # of truth (sizes.ms_flooding_scratch_specs docstring)
             scratch_shapes=[
-                pltpu.VMEM((sumA, B, M), dtype),
-                pltpu.VMEM((R, B, M), dtype),
-                pltpu.VMEM((R, B, M), dtype),
-                pltpu.VMEM((R, B, M), f32),
-                pltpu.VMEM((B, V), dtype),
-                pltpu.VMEM((B, V), f32),
-                pltpu.VMEM((B, 1), f32),
-                pltpu.VMEM((B, 1), jnp.int32),
+                pltpu.VMEM(sh, dt)
+                for sh, dt in ms_flooding_scratch_specs(
+                    sumA, R, V, M, B, dtype, node_major=False
+                )
             ],
         )
         return pl.pallas_call(
@@ -866,13 +865,13 @@ def make_ms_decoder_pallas_layered(
                 pl.BlockSpec((B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
+            # shapes sourced from sizes.py — the memory-table single source
+            # of truth (sizes.ms_layered_scratch_specs docstring)
             scratch_shapes=[
-                pltpu.VMEM((sumA, B, M), dtype),
-                pltpu.VMEM((sumA, B, M), dtype),
-                pltpu.VMEM((B, V), dtype),
-                pltpu.VMEM((B, V), f32),
-                pltpu.VMEM((B, 1), f32),
-                pltpu.VMEM((B, 1), jnp.int32),
+                pltpu.VMEM(sh, dt)
+                for sh, dt in ms_layered_scratch_specs(
+                    sumA, V, M, B, dtype, node_major=False
+                )
             ],
         )
         return pl.pallas_call(

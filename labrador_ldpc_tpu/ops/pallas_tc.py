@@ -52,6 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..codes.expand import qc_structure
 from ..codes.params import LDPCCode, get_code
+from ..sizes import (
+    bf_scratch_specs,
+    ms_flooding_scratch_specs,
+    ms_layered_scratch_specs,
+)
 from .minsum import MSResult
 
 __all__ = [
@@ -68,6 +73,13 @@ def _default_batch_tile_tc(M: int) -> int:
     VMEM/pipelining pressure and bt >= 4096 can fail to compile)."""
     del M
     return 512
+
+
+def _bf_batch_tile_tc(M: int) -> int:
+    """Measured bf tile defaults (v5e, maxiters=50, 3-bit-flip protocol,
+    B=32768 pipelined): TC128 bt=1024 6.6M cw/s (vs XLA qc 4.4M),
+    TC256 bt=512 8.5M (XLA 3.4M), TC512 bt=1024 7.4M (XLA 1.1M)."""
+    return 512 if M == 32 else 1024
 
 
 def _roll_fns(M: int):
@@ -318,13 +330,13 @@ def make_ms_decoder_pallas_tc_layered(
                 pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
+            # shapes sourced from sizes.py — the memory-table single source
+            # of truth (sizes.ms_layered_scratch_specs docstring)
             scratch_shapes=[
-                pltpu.VMEM((sumA * M, B), dtype),
-                pltpu.VMEM((sumA * M, B), dtype),
-                pltpu.VMEM((V, B), dtype),
-                pltpu.VMEM((V, B), f32),
-                pltpu.VMEM((1, B), f32),
-                pltpu.VMEM((1, B), jnp.int32),
+                pltpu.VMEM(sh, dt)
+                for sh, dt in ms_layered_scratch_specs(
+                    sumA, V, M, B, dtype, node_major=True
+                )
             ],
         )
         return pl.pallas_call(
@@ -520,15 +532,13 @@ def make_ms_decoder_pallas_tc_qc(
                 pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
+            # shapes sourced from sizes.py — the memory-table single source
+            # of truth (sizes.ms_flooding_scratch_specs docstring)
             scratch_shapes=[
-                pltpu.VMEM((sumA * M, B), dtype),
-                pltpu.VMEM((R * M, B), dtype),
-                pltpu.VMEM((R * M, B), dtype),
-                pltpu.VMEM((R * M, B), f32),
-                pltpu.VMEM((V, B), dtype),
-                pltpu.VMEM((V, B), f32),
-                pltpu.VMEM((1, B), f32),
-                pltpu.VMEM((1, B), jnp.int32),
+                pltpu.VMEM(sh, dt)
+                for sh, dt in ms_flooding_scratch_specs(
+                    sumA, R, V, M, B, dtype, node_major=True
+                )
             ],
         )
         return pl.pallas_call(
@@ -588,11 +598,8 @@ def make_bf_decoder_pallas_tc(
     assert p.punctured_bits == 0, "TC codes are unpunctured"
     n, V = p.n, Cc * M
     assert V == n
-    # Measured tile defaults (v5e, maxiters=50, 3-bit-flip protocol,
-    # B=32768 pipelined): TC128 bt=1024 6.6M cw/s (vs XLA qc 4.4M),
-    # TC256 bt=512 8.5M (XLA 3.4M), TC512 bt=1024 7.4M (XLA 1.1M).
     B = _resolve_batch_tile(batch_tile, M, interpret,
-                            default=512 if M == 32 else 1024)
+                            default=_bf_batch_tile_tc(M))
     f32 = jnp.float32
     fwd, inv = _roll_fns(M)
 
@@ -667,11 +674,10 @@ def make_bf_decoder_pallas_tc(
                 pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
+            # shapes sourced from sizes.py (sizes.bf_scratch_specs)
             scratch_shapes=[
-                pltpu.VMEM((V, B), f32),
-                pltpu.VMEM((V, B), f32),
-                pltpu.VMEM((1, B), f32),
-                pltpu.VMEM((1, B), jnp.int32),
+                pltpu.VMEM(sh, dt)
+                for sh, dt in bf_scratch_specs(V, B, node_major=True)
             ],
         )
         return pl.pallas_call(
