@@ -153,7 +153,7 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     )
 
 
-def shard_map_decoder(decoder, mesh):
+def shard_map_decoder(decoder, mesh, result_type=MSResult):
     """Map a batched decoder over a 1-D 'batch' mesh with jax.shard_map.
 
     The XLA decoder implementations partition under plain
@@ -162,12 +162,15 @@ def shard_map_decoder(decoder, mesh):
     partitioner and would be REPLICATED on every device instead of sharded.
     shard_map makes the data parallelism explicit: each device runs the
     kernel on its local batch shard (including its own early-exit
-    while_loop — no cross-chip all-done sync), and the per-shard MSResults
+    while_loop — no cross-chip all-done sync), and the per-shard results
     concatenate along the batch axis.
+
+    `result_type` is the decoder's result NamedTuple — MSResult (default)
+    or ops.bitflip.BFResult; both carry (success, iterations, bits).
     """
     from jax.sharding import PartitionSpec as P
 
-    out_specs = MSResult(
+    out_specs = result_type(
         success=P("batch"), iterations=P("batch"), bits=P("batch", None)
     )
     # check_vma=False: pallas_call's out_shape ShapeDtypeStructs carry no
