@@ -331,13 +331,17 @@ def make_ms_decoder_pallas_qc(
         ]
         return pltpu.roll(jnp.concatenate(parts, axis=1), thq, axis=1)
 
+    i32 = jnp.int32
+
     def u_from(v, m1, m2, sg):
-        """Check->var message from stats (decoder.rs:388-405); all f32."""
+        """Check->var message from stats (decoder.rs:388-405); v/m1/m2 f32,
+        sg the BOOLEAN sign product (an exact 0/1 — kept as i1/i32 to skip
+        bool->f32 casts and float mod-2 chains, STATUS.md roofline)."""
         av = jnp.abs(v)
         mag = jnp.where(av == m1, m2, m1)
         if alpha_c is not None:
             mag = alpha_c * mag
-        neg = jnp.logical_xor(sg != 0.0, v < 0.0)
+        neg = jnp.logical_xor(sg, v < 0.0)
         return jnp.where(neg, -mag, mag)
 
     def kernel(
@@ -353,9 +357,9 @@ def make_ms_decoder_pallas_qc(
         vs_ref,  # scratch: (sumA, B, M) dtype  var->check messages
         m1_ref,  # scratch: (R, B, M) dtype
         m2_ref,  # scratch: (R, B, M) dtype
-        sg_ref,  # scratch: (R, B, M) f32 (0/1 sign products)
+        sg_ref,  # scratch: (R, B, M) i32 (0/1 sign products)
         va_ref,  # scratch: (B, V) dtype  posteriors
-        frozen_ref,  # scratch: (B, V) f32 frozen hard bits
+        frozen_ref,  # scratch: (B, V) i32 frozen hard bits 0/1
         fdone_ref,  # scratch: (B, 1) f32
         fiters_ref,  # scratch: (B, 1) i32
     ):
@@ -363,15 +367,17 @@ def make_ms_decoder_pallas_qc(
         vs_ref[...] = jnp.zeros((sumA, B, M), dtype)
         m1_ref[...] = jnp.zeros((R, B, M), dtype)  # min1 = 0 (decoder.rs:374)
         m2_ref[...] = jnp.zeros((R, B, M), dtype)
-        sg_ref[...] = jnp.zeros((R, B, M), f32)
+        sg_ref[...] = jnp.zeros((R, B, M), i32)
         fdone_ref[...] = jnp.zeros((B, 1), f32)
         fiters_ref[...] = jnp.full((B, 1), maxiters, jnp.int32)
-        frozen_ref[...] = jnp.zeros((B, V), f32)
+        frozen_ref[...] = jnp.zeros((B, V), i32)
 
         def sweep1_body(e, _):
             r = rows_r[e]
             v = vs_ref[e].astype(f32)
-            u = u_from(v, m1_ref[r].astype(f32), m2_ref[r].astype(f32), sg_ref[r])
+            u = u_from(
+                v, m1_ref[r].astype(f32), m2_ref[r].astype(f32), sg_ref[r] != 0
+            )
             ph = tuple(phis_r[e, j] for j in range(4))
             w = inv_perm(u, thetaq_r[e], ph)
             c0 = pl.multiple_of(colq_r[e], 128)
@@ -381,7 +387,7 @@ def make_ms_decoder_pallas_qc(
         def row_body(r, ok):
             m1o = m1_ref[r].astype(f32)
             m2o = m2_ref[r].astype(f32)
-            sgo = sg_ref[r]
+            sgo = sg_ref[r] != 0
 
             def edge_body(e, carry):
                 m1n, m2n, sgc, par = carry
@@ -395,24 +401,27 @@ def make_ms_decoder_pallas_qc(
                 keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
                 nv = jnp.where(keep, nv, 0.0)
                 vs_ref[e] = nv.astype(dtype)
-                par = par + (g < 0.0).astype(f32)
+                par = jnp.logical_xor(par, g < 0.0)
                 a1 = jnp.abs(nv.astype(dtype).astype(f32))
                 is_new = a1 < m1n
                 m2n = jnp.where(is_new, m1n, jnp.minimum(m2n, a1))
                 m1n = jnp.minimum(m1n, a1)
-                sgc = sgc + (nv < 0.0).astype(f32)
+                sgc = jnp.logical_xor(sgc, nv < 0.0)
                 return (m1n, m2n, sgc, par)
 
             big = jnp.full((B, M), BIG, f32)
-            zero = jnp.zeros((B, M), f32)
+            fb = jnp.zeros((B, M), jnp.bool_)
             m1n, m2n, sgc, par = jax.lax.fori_loop(
-                row_off_r[r], row_off_r[r + 1], edge_body, (big, zero, zero, zero)
+                row_off_r[r],
+                row_off_r[r + 1],
+                edge_body,
+                (big, jnp.zeros((B, M), f32), fb, fb),
             )
             m1_ref[r] = m1n.astype(dtype)
             m2_ref[r] = m2n.astype(dtype)
-            sg_ref[r] = sgc - 2.0 * jnp.floor(sgc * 0.5)  # mod 2, counts <= 19
-            par2 = par - 2.0 * jnp.floor(par * 0.5)
-            row_ok = jnp.min(1.0 - par2, axis=1, keepdims=True)  # 1 iff all even
+            sg_ref[r] = sgc.astype(i32)
+            parf = par.astype(f32)  # exact 0/1
+            row_ok = jnp.min(1.0 - parf, axis=1, keepdims=True)  # 1 iff all even
             return ok * row_ok
 
         def iter_body(carry):
@@ -427,7 +436,7 @@ def make_ms_decoder_pallas_qc(
             # ---- freeze converged codewords at this iteration ----
             done = fdone_ref[...]
             newly = ok * (1.0 - done)
-            signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+            signs = (va_ref[...].astype(f32) < 0.0).astype(i32)
             frozen_ref[...] = jnp.where(newly > 0.0, signs, frozen_ref[...])
             fiters_ref[...] = jnp.where(
                 newly > 0.0, jnp.full((B, 1), 1, jnp.int32) * it, fiters_ref[...]
@@ -442,11 +451,10 @@ def make_ms_decoder_pallas_qc(
         )
         # non-converged codewords emit their final posterior signs
         done = fdone_ref[...]
-        signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
-        # Mosaic has no direct f32->u8 cast; values are exactly 0.0/1.0,
-        # so compare-then-cast (bool -> u8 lowers fine)
+        signs = (va_ref[...].astype(f32) < 0.0).astype(i32)
+        # values are exactly 0/1 i32: compare-then-cast (bool -> u8)
         bits_ref[...] = (
-            jnp.where(done > 0.0, frozen_ref[...], signs) > 0.0
+            jnp.where(done > 0.0, frozen_ref[...], signs) > 0
         ).astype(jnp.uint8)
         done_ref[...] = done
         iters_ref[...] = fiters_ref[...]
@@ -478,7 +486,7 @@ def make_ms_decoder_pallas_qc(
         # planes before anything reads them.
         fdone_ref[...] = jnp.zeros((B, 1), f32)
         fiters_ref[...] = jnp.full((B, 1), maxiters, jnp.int32)
-        frozen_ref[...] = jnp.zeros((B, V), f32)
+        frozen_ref[...] = jnp.zeros((B, V), i32)
 
         def one_iteration(it, first):
             """One flooding iteration; `first` (Python bool) specializes the
@@ -495,7 +503,7 @@ def make_ms_decoder_pallas_qc(
                 for r, row in enumerate(s.rows):
                     m1o = m1_ref[r].astype(f32)
                     m2o = m2_ref[r].astype(f32)
-                    sgo = sg_ref[r]
+                    sgo = sg_ref[r] != 0
                     for perm in row:
                         u = u_from(vs_ref[e].astype(f32), m1o, m2o, sgo)
                         c0 = perm.col * M
@@ -511,19 +519,22 @@ def make_ms_decoder_pallas_qc(
                             )
                         e += 1
             # ---- sweep 2: per-row streamed stats + self-corrected v ----
+            # sign products and parities are exact booleans: i1 XOR chains
+            # instead of float adds + mod-2 (identical values — STATUS.md
+            # roofline; the sg plane stores the bit as i32)
             ok = jnp.ones((B, 1), f32)
             e = 0
             for r, row in enumerate(s.rows):
                 if not first:
                     m1o = m1_ref[r].astype(f32)
                     m2o = m2_ref[r].astype(f32)
-                    sgo = sg_ref[r]
+                    sgo = sg_ref[r] != 0
                 m1n = jnp.full((B, M), sat_hi if is_int else BIG, f32)
                 m2n = jnp.full((B, M), sat_hi, f32) if is_int else jnp.zeros(
                     (B, M), f32
                 )
-                sgc = jnp.zeros((B, M), f32)
-                par = jnp.zeros((B, M), f32)
+                sgc = jnp.zeros((B, M), jnp.bool_)
+                par = jnp.zeros((B, M), jnp.bool_)
                 for perm in row:
                     c0 = perm.col * M
                     g = fwd_perm_s(va_ref[:, c0 : c0 + M].astype(f32), perm)
@@ -539,7 +550,7 @@ def make_ms_decoder_pallas_qc(
                         keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
                         nv = jnp.where(keep, nv, 0.0)
                     vs_ref[e] = nv.astype(dtype)
-                    par = par + (g < 0.0).astype(f32)
+                    par = jnp.logical_xor(par, g < 0.0)
                     if is_int:  # saturating abs: |-128| -> 127
                         a1 = jnp.minimum(jnp.abs(nv), sat_hi)
                     else:
@@ -547,17 +558,17 @@ def make_ms_decoder_pallas_qc(
                     is_new = a1 < m1n
                     m2n = jnp.where(is_new, m1n, jnp.minimum(m2n, a1))
                     m1n = jnp.minimum(m1n, a1)
-                    sgc = sgc + (nv < 0.0).astype(f32)
+                    sgc = jnp.logical_xor(sgc, nv < 0.0)
                     e += 1
                 m1_ref[r] = m1n.astype(dtype)
                 m2_ref[r] = m2n.astype(dtype)
-                sg_ref[r] = sgc - 2.0 * jnp.floor(sgc * 0.5)  # mod 2
-                par2 = par - 2.0 * jnp.floor(par * 0.5)
-                ok = ok * jnp.min(1.0 - par2, axis=1, keepdims=True)
+                sg_ref[r] = sgc.astype(i32)
+                parf = par.astype(f32)  # exact 0/1
+                ok = ok * jnp.min(1.0 - parf, axis=1, keepdims=True)
             # ---- freeze converged codewords at this iteration ----
             done = fdone_ref[...]
             newly = ok * (1.0 - done)
-            signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+            signs = (va_ref[...].astype(f32) < 0.0).astype(i32)
             frozen_ref[...] = jnp.where(newly > 0.0, signs, frozen_ref[...])
             fiters_ref[...] = jnp.where(
                 newly > 0.0, jnp.full((B, 1), 1, jnp.int32) * it, fiters_ref[...]
@@ -577,11 +588,10 @@ def make_ms_decoder_pallas_qc(
         cont0 = jnp.logical_and(1 < maxiters, jnp.min(done0) < 1.0)
         jax.lax.while_loop(lambda c: c[1], iter_body, (jnp.int32(1), cont0))
         done = fdone_ref[...]
-        signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
-        # Mosaic has no direct f32->u8 cast; values are exactly 0.0/1.0,
-        # so compare-then-cast (bool -> u8 lowers fine)
+        signs = (va_ref[...].astype(f32) < 0.0).astype(i32)
+        # values are exactly 0/1 i32: compare-then-cast (bool -> u8)
         bits_ref[...] = (
-            jnp.where(done > 0.0, frozen_ref[...], signs) > 0.0
+            jnp.where(done > 0.0, frozen_ref[...], signs) > 0
         ).astype(jnp.uint8)
         done_ref[...] = done
         iters_ref[...] = fiters_ref[...]
@@ -729,6 +739,8 @@ def make_ms_decoder_pallas_layered(
     for row in s.rows:
         row_off.append(row_off[-1] + len(row))
 
+    i32 = jnp.int32
+
     def kernel(
         llr_ref,  # (B, n) dtype VMEM block
         bits_ref,  # out: (B, V) uint8 hard bits 0/1
@@ -737,13 +749,13 @@ def make_ms_decoder_pallas_layered(
         us_ref,  # scratch: (sumA, B, M) dtype  check->var messages u
         tps_ref,  # scratch: (sumA, B, M) dtype previous extrinsics t'
         va_ref,  # scratch: (B, V) dtype posteriors (carried across iters)
-        frozen_ref,  # scratch: (B, V) f32 frozen hard bits
+        frozen_ref,  # scratch: (B, V) i32 frozen hard bits 0/1
         fdone_ref,  # scratch: (B, 1) f32
         fiters_ref,  # scratch: (B, 1) i32
     ):
         fdone_ref[...] = jnp.zeros((B, 1), f32)
         fiters_ref[...] = jnp.full((B, 1), maxiters, jnp.int32)
-        frozen_ref[...] = jnp.zeros((B, V), f32)
+        frozen_ref[...] = jnp.zeros((B, V), i32)
         # posteriors initialized ONCE: unlike flooding, the layered schedule
         # carries va across iterations (qc_minsum.py make_ms_decoder_layered)
         va_ref[:, :n] = llr_ref[...]
@@ -773,12 +785,16 @@ def make_ms_decoder_pallas_layered(
                         keep = jnp.logical_or((t < 0.0) == (tp < 0.0), tp == 0.0)
                         t = jnp.where(keep, t, 0.0)  # (decoder.rs:420-426)
                     ts.append(t)
-                # two smallest |t| + sign product across the layer's addends
+                # two smallest |t| + sign product across the layer's addends.
+                # The sign product is an exact boolean: accumulate it as an
+                # i1 XOR chain instead of float adds + a mod-2 (saves the
+                # bool->f32 casts and the mul/floor/sub chain per layer —
+                # identical value, Mosaic-census-driven, STATUS.md roofline)
                 m1 = jnp.full((B, M), sat_hi if is_int else BIG, f32)
                 m2 = jnp.full((B, M), sat_hi, f32) if is_int else jnp.zeros(
                     (B, M), f32
                 )
-                sgc = jnp.zeros((B, M), f32)
+                sgb = jnp.zeros((B, M), jnp.bool_)
                 a1s = []
                 for t in ts:
                     if is_int:  # saturating abs: |-128| -> 127
@@ -789,8 +805,7 @@ def make_ms_decoder_pallas_layered(
                     is_new = a1 < m1
                     m2 = jnp.where(is_new, m1, jnp.minimum(m2, a1))
                     m1 = jnp.minimum(m1, a1)
-                    sgc = sgc + (t < 0.0).astype(f32)
-                sg = sgc - 2.0 * jnp.floor(sgc * 0.5)  # mod 2
+                    sgb = jnp.logical_xor(sgb, t < 0.0)
                 # pass 2: new u; posterior update va += perm_inv(u - u_old)
                 for a, perm in enumerate(row):
                     e = row_off[r] + a
@@ -799,7 +814,7 @@ def make_ms_decoder_pallas_layered(
                     mag = jnp.where(a1s[a] == m1, m2, m1)
                     if alpha_c is not None:
                         mag = alpha_c * mag
-                    neg = jnp.logical_xor(sg != 0.0, t < 0.0)
+                    neg = jnp.logical_xor(sgb, t < 0.0)
                     u = jnp.where(neg, -mag, mag)
                     du = u if first else u - us_ref[e].astype(f32)
                     # the int posterior accumulator stays WIDE — only
@@ -809,18 +824,22 @@ def make_ms_decoder_pallas_layered(
                     us_ref[e] = u.astype(dtype)
                     tps_ref[e] = t.astype(dtype)
             # end-of-iteration syndrome over the FINAL posteriors (per-layer
-            # parities taken mid-sweep are stale — qc_minsum.py layered)
+            # parities taken mid-sweep are stale — qc_minsum.py layered).
+            # Sign planes as i32 0/1 (rolls are bit-pattern moves; i32 skips
+            # the sitofp) with i1-XOR parity accumulation; one f32 convert
+            # per row only for the lane reduction.
             sign_blocks = [
-                (va_ref[:, c * M : (c + 1) * M].astype(f32) < 0.0).astype(f32)
+                (va_ref[:, c * M : (c + 1) * M].astype(f32) < 0.0).astype(i32)
                 for c in range(Cc)
             ]
             ok = jnp.ones((B, 1), f32)
             for r, row in enumerate(s.rows):
-                par = jnp.zeros((B, M), f32)
+                par = None
                 for perm in row:
-                    par = par + fwd_perm_s(sign_blocks[perm.col], perm)
-                par2 = par - 2.0 * jnp.floor(par * 0.5)
-                ok = ok * jnp.min(1.0 - par2, axis=1, keepdims=True)
+                    g = fwd_perm_s(sign_blocks[perm.col], perm)
+                    par = g if par is None else par ^ g
+                parf = par.astype(f32)  # exact 0/1
+                ok = ok * jnp.min(1.0 - parf, axis=1, keepdims=True)
             # ---- freeze converged codewords at this iteration ----
             done = fdone_ref[...]
             newly = ok * (1.0 - done)
@@ -844,10 +863,10 @@ def make_ms_decoder_pallas_layered(
         cont0 = jnp.logical_and(1 < maxiters, jnp.min(done0) < 1.0)
         jax.lax.while_loop(lambda c: c[1], iter_body, (jnp.int32(1), cont0))
         done = fdone_ref[...]
-        signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
-        # Mosaic has no direct f32->u8 cast; values are exactly 0.0/1.0
+        signs = (va_ref[...].astype(f32) < 0.0).astype(i32)
+        # values are exactly 0/1 i32: compare-then-cast (bool -> u8)
         bits_ref[...] = (
-            jnp.where(done > 0.0, frozen_ref[...], signs) > 0.0
+            jnp.where(done > 0.0, frozen_ref[...], signs) > 0
         ).astype(jnp.uint8)
         done_ref[...] = done
         iters_ref[...] = fiters_ref[...]

@@ -196,6 +196,8 @@ def make_ms_decoder_pallas_tc_layered(
     for row in s.rows:
         row_off.append(row_off[-1] + len(row))
 
+    i32 = jnp.int32
+
     def kernel(
         llr_ref,  # (n, B) dtype VMEM block (node-major)
         bits_ref,  # out: (V, B) uint8 hard bits 0/1
@@ -204,13 +206,13 @@ def make_ms_decoder_pallas_tc_layered(
         us_ref,  # scratch: (sumA*M, B) dtype  check->var messages u
         tps_ref,  # scratch: (sumA*M, B) dtype previous extrinsics t'
         va_ref,  # scratch: (V, B) dtype posteriors (carried across iters)
-        frozen_ref,  # scratch: (V, B) f32 frozen hard bits
+        frozen_ref,  # scratch: (V, B) i32 frozen hard bits 0/1
         fdone_ref,  # scratch: (1, B) f32
         fiters_ref,  # scratch: (1, B) i32
     ):
         fdone_ref[...] = jnp.zeros((1, B), f32)
         fiters_ref[...] = jnp.full((1, B), maxiters, jnp.int32)
-        frozen_ref[...] = jnp.zeros((V, B), f32)
+        frozen_ref[...] = jnp.zeros((V, B), i32)
         # posteriors initialized ONCE: the layered schedule carries va
         # across iterations (qc_minsum.py make_ms_decoder_layered)
         va_ref[:n, :] = llr_ref[...]
@@ -239,11 +241,13 @@ def make_ms_decoder_pallas_tc_layered(
                         t = jnp.where(keep, t, 0.0)  # (decoder.rs:420-426)
                     ts.append(t)
                 # two smallest |t| + sign product across the layer's addends
+                # (sign product as an i1 XOR chain — exact boolean, saves
+                # the bool->f32 casts + mod-2, see pallas_qc.py)
                 m1 = jnp.full((M, B), sat_hi if is_int else BIG, f32)
                 m2 = jnp.full((M, B), sat_hi, f32) if is_int else jnp.zeros(
                     (M, B), f32
                 )
-                sgc = jnp.zeros((M, B), f32)
+                sgb = jnp.zeros((M, B), jnp.bool_)
                 a1s = []
                 for t in ts:
                     if is_int:  # saturating abs: |-128| -> 127
@@ -254,8 +258,7 @@ def make_ms_decoder_pallas_tc_layered(
                     is_new = a1 < m1
                     m2 = jnp.where(is_new, m1, jnp.minimum(m2, a1))
                     m1 = jnp.minimum(m1, a1)
-                    sgc = sgc + (t < 0.0).astype(f32)
-                sg = sgc - 2.0 * jnp.floor(sgc * 0.5)  # mod 2
+                    sgb = jnp.logical_xor(sgb, t < 0.0)
                 # pass 2: new u; posterior update va += perm_inv(u - u_old)
                 for a, perm in enumerate(row):
                     e = row_off[r] + a
@@ -264,7 +267,7 @@ def make_ms_decoder_pallas_tc_layered(
                     mag = jnp.where(a1s[a] == m1, m2, m1)
                     if alpha_c is not None:
                         mag = alpha_c * mag
-                    neg = jnp.logical_xor(sg != 0.0, t < 0.0)
+                    neg = jnp.logical_xor(sgb, t < 0.0)
                     u = jnp.where(neg, -mag, mag)
                     du = u if first else u - us_ref[e * M : (e + 1) * M, :].astype(f32)
                     # the int LAYERED posterior accumulator stays WIDE —
@@ -274,18 +277,20 @@ def make_ms_decoder_pallas_tc_layered(
                     va_ref[c0 : c0 + M, :] += inv(du, perm).astype(dtype)
                     us_ref[e * M : (e + 1) * M, :] = u.astype(dtype)
                     tps_ref[e * M : (e + 1) * M, :] = t.astype(dtype)
-            # end-of-iteration syndrome over the FINAL posteriors
+            # end-of-iteration syndrome over the FINAL posteriors (i32 sign
+            # planes, XOR parity — see pallas_qc.py layered kernel)
             sign_blocks = [
-                (va_ref[c * M : (c + 1) * M, :].astype(f32) < 0.0).astype(f32)
+                (va_ref[c * M : (c + 1) * M, :].astype(f32) < 0.0).astype(i32)
                 for c in range(Cc)
             ]
             ok = jnp.ones((1, B), f32)
             for r, row in enumerate(s.rows):
-                par = jnp.zeros((M, B), f32)
+                par = None
                 for perm in row:
-                    par = par + fwd(sign_blocks[perm.col], perm)
-                par2 = par - 2.0 * jnp.floor(par * 0.5)
-                ok = ok * jnp.min(1.0 - par2, axis=0, keepdims=True)
+                    g = fwd(sign_blocks[perm.col], perm)
+                    par = g if par is None else par ^ g
+                parf = par.astype(f32)  # exact 0/1
+                ok = ok * jnp.min(1.0 - parf, axis=0, keepdims=True)
             # ---- freeze converged codewords at this iteration ----
             done = fdone_ref[...]
             newly = ok * (1.0 - done)
@@ -309,10 +314,10 @@ def make_ms_decoder_pallas_tc_layered(
         cont0 = jnp.logical_and(1 < maxiters, jnp.min(done0) < 1.0)
         jax.lax.while_loop(lambda c: c[1], iter_body, (jnp.int32(1), cont0))
         done = fdone_ref[...]
-        signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
-        # Mosaic has no direct f32->u8 cast; values are exactly 0.0/1.0
+        signs = (va_ref[...].astype(f32) < 0.0).astype(i32)
+        # values are exactly 0/1 i32: compare-then-cast (bool -> u8)
         bits_ref[...] = (
-            jnp.where(done > 0.0, frozen_ref[...], signs) > 0.0
+            jnp.where(done > 0.0, frozen_ref[...], signs) > 0
         ).astype(jnp.uint8)
         done_ref[...] = done
         iters_ref[...] = fiters_ref[...]
@@ -385,13 +390,16 @@ def make_ms_decoder_pallas_tc_qc(
     alpha_c = None if alpha is None else float(alpha)
     fwd, inv = _roll_fns(M)
 
+    i32 = jnp.int32
+
     def u_from(v, m1, m2, sg):
-        """Check->var message from stats (decoder.rs:388-405); all f32."""
+        """Check->var message from stats (decoder.rs:388-405); v/m1/m2 f32,
+        sg the BOOLEAN sign product (see pallas_qc.py)."""
         av = jnp.abs(v)
         mag = jnp.where(av == m1, m2, m1)
         if alpha_c is not None:
             mag = alpha_c * mag
-        neg = jnp.logical_xor(sg != 0.0, v < 0.0)
+        neg = jnp.logical_xor(sg, v < 0.0)
         return jnp.where(neg, -mag, mag)
 
     def kernel(
@@ -402,9 +410,9 @@ def make_ms_decoder_pallas_tc_qc(
         vs_ref,  # scratch: (sumA*M, B) dtype  var->check messages
         m1_ref,  # scratch: (R*M, B) dtype
         m2_ref,  # scratch: (R*M, B) dtype
-        sg_ref,  # scratch: (R*M, B) f32 (0/1 sign products)
+        sg_ref,  # scratch: (R*M, B) i32 (0/1 sign products)
         va_ref,  # scratch: (V, B) dtype posteriors
-        frozen_ref,  # scratch: (V, B) f32
+        frozen_ref,  # scratch: (V, B) i32
         fdone_ref,  # scratch: (1, B) f32
         fiters_ref,  # scratch: (1, B) i32
     ):
@@ -413,7 +421,7 @@ def make_ms_decoder_pallas_tc_qc(
         # every scratch plane before anything reads them.
         fdone_ref[...] = jnp.zeros((1, B), f32)
         fiters_ref[...] = jnp.full((1, B), maxiters, jnp.int32)
-        frozen_ref[...] = jnp.zeros((V, B), f32)
+        frozen_ref[...] = jnp.zeros((V, B), i32)
 
         def one_iteration(it, first):
             """One flooding iteration; `first` specializes the peeled
@@ -429,7 +437,7 @@ def make_ms_decoder_pallas_tc_qc(
                     r0 = r * M
                     m1o = m1_ref[r0 : r0 + M, :].astype(f32)
                     m2o = m2_ref[r0 : r0 + M, :].astype(f32)
-                    sgo = sg_ref[r0 : r0 + M, :]
+                    sgo = sg_ref[r0 : r0 + M, :] != 0
                     for perm in row:
                         u = u_from(
                             vs_ref[e * M : (e + 1) * M, :].astype(f32),
@@ -445,6 +453,7 @@ def make_ms_decoder_pallas_tc_qc(
                             va_ref[c0 : c0 + M, :] += inv(u, perm).astype(dtype)
                         e += 1
             # ---- sweep 2: per-row streamed stats + self-corrected v ----
+            # sign products and parities as i1 XOR chains (pallas_qc.py)
             ok = jnp.ones((1, B), f32)
             e = 0
             for r, row in enumerate(s.rows):
@@ -452,13 +461,13 @@ def make_ms_decoder_pallas_tc_qc(
                 if not first:
                     m1o = m1_ref[r0 : r0 + M, :].astype(f32)
                     m2o = m2_ref[r0 : r0 + M, :].astype(f32)
-                    sgo = sg_ref[r0 : r0 + M, :]
+                    sgo = sg_ref[r0 : r0 + M, :] != 0
                 m1n = jnp.full((M, B), sat_hi if is_int else BIG, f32)
                 m2n = jnp.full((M, B), sat_hi, f32) if is_int else jnp.zeros(
                     (M, B), f32
                 )
-                sgc = jnp.zeros((M, B), f32)
-                par = jnp.zeros((M, B), f32)
+                sgc = jnp.zeros((M, B), jnp.bool_)
+                par = jnp.zeros((M, B), jnp.bool_)
                 for perm in row:
                     c0 = perm.col * M
                     g = fwd(va_ref[c0 : c0 + M, :].astype(f32), perm)
@@ -474,7 +483,7 @@ def make_ms_decoder_pallas_tc_qc(
                         keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
                         nv = jnp.where(keep, nv, 0.0)
                     vs_ref[e * M : (e + 1) * M, :] = nv.astype(dtype)
-                    par = par + (g < 0.0).astype(f32)
+                    par = jnp.logical_xor(par, g < 0.0)
                     if is_int:  # saturating abs: |-128| -> 127
                         a1 = jnp.minimum(jnp.abs(nv), sat_hi)
                     else:
@@ -482,17 +491,17 @@ def make_ms_decoder_pallas_tc_qc(
                     is_new = a1 < m1n
                     m2n = jnp.where(is_new, m1n, jnp.minimum(m2n, a1))
                     m1n = jnp.minimum(m1n, a1)
-                    sgc = sgc + (nv < 0.0).astype(f32)
+                    sgc = jnp.logical_xor(sgc, nv < 0.0)
                     e += 1
                 m1_ref[r0 : r0 + M, :] = m1n.astype(dtype)
                 m2_ref[r0 : r0 + M, :] = m2n.astype(dtype)
-                sg_ref[r0 : r0 + M, :] = sgc - 2.0 * jnp.floor(sgc * 0.5)  # mod 2
-                par2 = par - 2.0 * jnp.floor(par * 0.5)
-                ok = ok * jnp.min(1.0 - par2, axis=0, keepdims=True)
+                sg_ref[r0 : r0 + M, :] = sgc.astype(i32)
+                parf = par.astype(f32)  # exact 0/1
+                ok = ok * jnp.min(1.0 - parf, axis=0, keepdims=True)
             # ---- freeze converged codewords at this iteration ----
             done = fdone_ref[...]
             newly = ok * (1.0 - done)
-            signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+            signs = (va_ref[...].astype(f32) < 0.0).astype(i32)
             frozen_ref[...] = jnp.where(newly > 0.0, signs, frozen_ref[...])
             fiters_ref[...] = jnp.where(
                 newly > 0.0, jnp.full((1, B), 1, jnp.int32) * it, fiters_ref[...]
@@ -512,9 +521,9 @@ def make_ms_decoder_pallas_tc_qc(
         cont0 = jnp.logical_and(1 < maxiters, jnp.min(done0) < 1.0)
         jax.lax.while_loop(lambda c: c[1], iter_body, (jnp.int32(1), cont0))
         done = fdone_ref[...]
-        signs = (va_ref[...].astype(f32) < 0.0).astype(f32)
+        signs = (va_ref[...].astype(f32) < 0.0).astype(i32)
         bits_ref[...] = (
-            jnp.where(done > 0.0, frozen_ref[...], signs) > 0.0
+            jnp.where(done > 0.0, frozen_ref[...], signs) > 0
         ).astype(jnp.uint8)
         done_ref[...] = done
         iters_ref[...] = fiters_ref[...]

@@ -55,17 +55,17 @@ _I32 = jnp.dtype(jnp.int32)
 
 def ms_flooding_scratch_specs(sumA, R, V, M, B, dtype, node_major):
     """Scratch of the fused flooding min-sum kernel: var->check messages,
-    per-row min1/min2/sign stats, posteriors, frozen bits, done, iters.
-    node_major=True is the transposed TC layout (nodes on sublanes,
-    batch on lanes — ops/pallas_tc.py)."""
+    per-row min1/min2 stats, i32 sign-product bits, posteriors, i32 frozen
+    bits, done, iters. node_major=True is the transposed TC layout (nodes
+    on sublanes, batch on lanes — ops/pallas_tc.py)."""
     if node_major:
         return [
             ((sumA * M, B), dtype),
             ((R * M, B), dtype),
             ((R * M, B), dtype),
-            ((R * M, B), _F32),
+            ((R * M, B), _I32),
             ((V, B), dtype),
-            ((V, B), _F32),
+            ((V, B), _I32),
             ((1, B), _F32),
             ((1, B), _I32),
         ]
@@ -73,9 +73,9 @@ def ms_flooding_scratch_specs(sumA, R, V, M, B, dtype, node_major):
         ((sumA, B, M), dtype),
         ((R, B, M), dtype),
         ((R, B, M), dtype),
-        ((R, B, M), _F32),
+        ((R, B, M), _I32),
         ((B, V), dtype),
-        ((B, V), _F32),
+        ((B, V), _I32),
         ((B, 1), _F32),
         ((B, 1), _I32),
     ]
@@ -83,14 +83,14 @@ def ms_flooding_scratch_specs(sumA, R, V, M, B, dtype, node_major):
 
 def ms_layered_scratch_specs(sumA, V, M, B, dtype, node_major):
     """Scratch of the fused row-layered min-sum kernel: check->var messages
-    u, previous extrinsics t', carried posteriors, frozen bits, done,
+    u, previous extrinsics t', carried posteriors, i32 frozen bits, done,
     iters."""
     if node_major:
         return [
             ((sumA * M, B), dtype),
             ((sumA * M, B), dtype),
             ((V, B), dtype),
-            ((V, B), _F32),
+            ((V, B), _I32),
             ((1, B), _F32),
             ((1, B), _I32),
         ]
@@ -98,7 +98,7 @@ def ms_layered_scratch_specs(sumA, V, M, B, dtype, node_major):
         ((sumA, B, M), dtype),
         ((sumA, B, M), dtype),
         ((B, V), dtype),
-        ((B, V), _F32),
+        ((B, V), _I32),
         ((B, 1), _F32),
         ((B, 1), _I32),
     ]
