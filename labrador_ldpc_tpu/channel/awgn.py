@@ -35,13 +35,14 @@ def resolve_impl(code, dtype, impl: str, backend: str | None = None) -> str:
     """Resolve impl="auto" to a concrete implementation name.
 
     The measured-best production schedule per code/backend (results.jsonl
-    decode_ms/ms_iter rows): on TPU the fused Pallas kernels, with flooding
-    on TM1280 (its masked-roll layered syndrome pass is not free, so
-    pallas_qc wins 2.07M vs 1.81M cw/s) and layered everywhere else;
-    off-TPU (or f64/int32, which Mosaic doesn't take) the XLA layered
-    path, falling back to reference-order for int32. `backend` defaults to
-    `jax.default_backend()` and exists so tests can pin the TPU routing
-    table off-TPU.
+    decode_ms/ms_iter rows): on TPU the fused Pallas LAYERED kernels for
+    every code — the round-4 quartered node-major kernels removed the one
+    exception (TM1280's masked-roll syndrome penalty: node-major layered
+    4.25M cw/s now beats both its own flooding 3.88M and the old
+    lane-major best 2.07M). Off-TPU (or f64/int32, which Mosaic doesn't
+    take) the XLA layered path, falling back to reference-order for
+    int32. `backend` defaults to `jax.default_backend()` and exists so
+    tests can pin the TPU routing table off-TPU.
 
     Concrete impl names pass through unchanged, so callers (make_trial_step,
     decode_ms) can resolve ONCE and key caches / shard_map decisions on the
@@ -49,27 +50,18 @@ def resolve_impl(code, dtype, impl: str, backend: str | None = None) -> str:
     "is this a Pallas impl" must be asked about the RESOLVED impl, never
     the literal string "auto" (ADVICE r3 medium).
 
-    Emits one-time dtype guidance where a different dtype is measured
-    faster (bf16 wins 1.17-1.48x on TM1280/TM1536's data-motion-bound
-    masked-roll kernels; it loses 8-24% on every other code).
+    (The round-3 bf16 guidance for TM1280/TM1536 is retired: it described
+    the lane-major masked-roll kernels, which were data-motion-bound; the
+    node-major quartered kernels are faster in f32 — measured f32 4.25M /
+    3.67M vs bf16 3.89M / 3.30M cw/s.)
     """
     if impl != "auto":
         return impl
     dtype = jnp.dtype(dtype)
     if backend is None:
         backend = jax.default_backend()
-    code_name = get_code(code).name
     if backend == "tpu" and dtype.name in ("float32", "bfloat16", "int8", "int16"):
-        if dtype.name == "float32" and code_name in ("TM1280", "TM1536"):
-            import warnings
-
-            warnings.warn(
-                f"{code_name} decodes 1.17-1.48x faster with bfloat16 LLRs "
-                "on TPU (measured, benchmarks/results.jsonl); pass "
-                "dtype=bfloat16 if your front end allows it",
-                stacklevel=3,
-            )
-        return "pallas_qc" if code_name == "TM1280" else "pallas_layered"
+        return "pallas_layered"
     if dtype.name == "int32":
         return "ref"
     return "layered"

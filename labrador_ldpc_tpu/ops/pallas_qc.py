@@ -272,10 +272,15 @@ def make_ms_decoder_pallas_qc(
     keeps the O(1)-IR fallback.
     """
     code = get_code(code)
-    if code.submatrix_size < 128:
-        # small-M (TC) codes use the transposed sublane-roll kernel, which
-        # shares this factory's contract (bit-exact vs make_ms_decoder_qc
-        # for f32, saturating int semantics) — see ops/pallas_tc.py
+    from .pallas_tc import ms_node_major
+
+    if ms_node_major(code.submatrix_size):
+        # M <= 256 uses the transposed node-major kernels, which share
+        # this factory's contract (bit-exact vs make_ms_decoder_qc for
+        # f32, saturating int semantics): TC codes (pure sublane rolls)
+        # and TM1280/TM1536, whose pi perms decompose into quarter parts
+        # there (measured 1.8x the lane-major kernels; for M >= 512 the
+        # lane-major layout wins instead) — see ops/pallas_tc.py
         from .pallas_tc import make_ms_decoder_pallas_tc_qc
 
         return make_ms_decoder_pallas_tc_qc(
@@ -697,9 +702,13 @@ def make_ms_decoder_pallas_layered(
     Returns fn(llrs: (B, n) dtype) -> MSResult.
     """
     code = get_code(code)
-    if code.submatrix_size < 128:
-        # small-M (TC) codes use the transposed sublane-roll kernel
-        # (bit-exact vs make_ms_decoder_layered for f32) — ops/pallas_tc.py
+    from .pallas_tc import ms_node_major
+
+    if ms_node_major(code.submatrix_size):
+        # M <= 256 uses the transposed node-major kernels (bit-exact vs
+        # make_ms_decoder_layered for f32): TC sublane rolls plus the
+        # quartered pi-part path for TM1280/TM1536 (measured 1.8x the
+        # masked-roll lane-major kernels there) — see ops/pallas_tc.py
         from .pallas_tc import make_ms_decoder_pallas_tc_layered
 
         return make_ms_decoder_pallas_tc_layered(

@@ -1,20 +1,32 @@
-"""VMEM-resident min-sum Pallas kernels for the SMALL-M (TC) codes.
+"""VMEM-resident NODE-MAJOR min-sum Pallas kernels (TC codes + M<=256 TM).
 
-The TM kernels (ops/pallas_qc.py) put the batch on sublanes and the M
-nodes of a block on lanes, because TM submatrix sizes (128..2048) are
-lane-tile multiples. The TC codes have M = 16/32/64 — a (B, M) plane
-would waste most of the 128 lanes and every block permutation would be a
-sub-tile lane roll (Mosaic relayout city). This module flips the layout:
-**nodes on SUBLANES, batch on LANES** — exactly the node-major (M, B)
-layout the XLA QC decoders already use (qc_minsum.py) — so
+The lane-major kernels (ops/pallas_qc.py) put the batch on sublanes and
+the M nodes of a block on lanes — the right layout for large TM
+submatrices (M >= 512, lane-tile multiples). This module flips it:
+**nodes on SUBLANES, batch on LANES** — the node-major (M, B) layout the
+XLA QC decoders already use (qc_minsum.py) — and carries every logical
+(M, B) plane as a list of PARTS (_part_layout):
 
-  * every TC sub-block is a pure cyclic rotation (HI | s only — the
-    TC prototypes contain no HP cells, codes/expand.py `qc_structure`),
-    i.e. a STATIC SUBLANE roll of an (M, B_tile) tile;
+  * TC codes (M = 16/32/64): every sub-block is a pure cyclic rotation
+    (HI | s only — no HP cells, codes/expand.py `qc_structure`), so a
+    plane is ONE part and every permutation is a STATIC SUBLANE roll of
+    an (M, B_tile) tile. A (B, M) lane-major plane would waste most of
+    the 128 lanes and make every permutation a sub-tile lane roll.
+  * TM codes: every rot block is the IDENTITY (shift 0) and every HP
+    block a pi permutation = theta quarter-rotation + per-quarter phi
+    rolls, so a plane splits into FOUR independent (M/4, B) quarter
+    parts that are closed under every permutation: identity keeps parts
+    in place, a pi perm reindexes parts and sublane-rolls each — zero
+    concatenation or masked-roll data movement (the lane-major kernels
+    pay ~26% of their issue slots for the same perms, round-4 census).
+    Production dispatch sends M <= 256 (TM1280/TM1536) here — measured
+    1.8x their lane-major kernels; for M >= 512 the tall (q, B) parts
+    lose to the wide lane layout (`ms_node_major`), though the kernels
+    accept every TM code.
   * the batch rides the full 128-wide lanes (B_tile a multiple of 128),
-    so every vector op is dense;
-  * M = 16/32/64 are sublane-tile multiples (8 for f32), so per-addend
-    and per-block slices of the stacked state planes are tile-aligned.
+    so every vector op is dense; all part heights (16..512) are
+    sublane-tile multiples (8 for f32), so every part slice of the
+    stacked state planes is tile-aligned.
 
 As in pallas_qc.py, the grid tiles the batch and one grid step keeps the
 entire decode state for its codeword tile in VMEM scratch for the whole
@@ -63,15 +75,35 @@ __all__ = [
     "make_ms_decoder_pallas_tc_qc",
     "make_ms_decoder_pallas_tc_layered",
     "make_bf_decoder_pallas_tc",
+    "ms_node_major",
 ]
+
+
+def ms_node_major(M: int) -> bool:
+    """Production min-sum dispatch boundary (single source of truth for
+    the pallas_qc factories and sizes.py): M <= 256 decodes node-major
+    here — TC sublane rolls plus the quartered pi parts for
+    TM1280/TM1536, measured 1.8x their lane-major kernels — while
+    M >= 512 stays on the lane-major pallas_qc kernels (measured: the
+    node-major layout loses there — TM8192 0.70M vs 1.80M cw/s,
+    TM2048/5120/6144 0.85-0.94x — tall (q, B) parts pay more per
+    sublane roll than the wide lane layout pays for its masked rolls)."""
+    return M <= 256
 
 
 def _default_batch_tile_tc(M: int) -> int:
     """Lanes (codewords) per grid step. Measured on a v5e core (layered
     f32, B=65536, pipelined protocol): 512 wins for all three TC codes
     (TC128 9.4M, TC256 9.0M, TC512 7.1M cw/s; larger tiles lose to
-    VMEM/pipelining pressure and bt >= 4096 can fail to compile)."""
-    del M
+    VMEM/pipelining pressure and bt >= 4096 can fail to compile).
+    TM codes (quartered node-major, suite protocol): M=128/256 measured
+    best at 256 (TM1280 4.0M, TM1536 3.6M cw/s; 128 and 512 lose);
+    M >= 512 uses 128 — the scratch planes scale with sumA*M, and
+    TM8192 at 256 lanes would blow the 100 MB VMEM budget."""
+    if M >= 512:
+        return 128
+    if M >= 128:
+        return 256
     return 512
 
 
@@ -82,21 +114,76 @@ def _bf_batch_tile_tc(M: int) -> int:
     return 512 if M == 32 else 1024
 
 
-def _roll_fns(M: int):
-    """Static sublane-roll block permutations for (M, B) node-major tiles.
-    TC prototypes are pure rotations: edge (r*M + i, c*M + (i+s) % M), so
-    the check-side view of a var block is roll(x, -s) and the scatter back
-    is roll(x, +s) — identical to qc_minsum.perm_rows on axis 0."""
+def _part_layout(s):
+    """(P, q): every logical (M, B) node-major plane is carried as P
+    independent parts of q sublanes each.
 
-    def fwd(x, perm):
-        sh = (-perm.shift) % M
+    TC prototypes are pure rotations (edge (r*M + i, c*M + (i+s) % M)), so
+    the natural unit is the whole block: P=1, q=M, and every permutation
+    is one static sublane roll (the check-side view of a var block is
+    roll(x, -s); the scatter back roll(x, +s) — identical to
+    qc_minsum.perm_rows on axis 0).
+
+    TM prototypes contain ONLY identity blocks (every rot shift is 0 —
+    codes/constants.py builds them from HI|0 cells) and pi permutations
+    (theta quarter-rotation + per-quarter phi rolls, codes/expand.py). In
+    quarters (P=4, q=M/4) BOTH are closed part-wise: identity maps part j
+    to part j untouched, and a pi perm maps var part (theta+t)%4 to check
+    part t with a static roll of phis[t]. The four parts never mix
+    element-wise — min/sign/posterior chains run on each part
+    independently — so the kernels below never materialize an (M, B)
+    value at all: no concatenation, no sub-tile slicing of computed
+    values, zero permutation data movement beyond the per-part sublane
+    rolls. (The lane-major kernels in pallas_qc.py pay masked full-width
+    lane rolls or 64-lane quarter slices for the same perms — measured as
+    ~26% of their issue slots in the round-4 Mosaic census.)
+    """
+    if any(perm.kind != "rot" for row in s.rows for perm in row):
+        assert all(
+            perm.kind != "rot" or perm.shift == 0
+            for row in s.rows
+            for perm in row
+        ), "mixed nonzero-rotation + pi prototypes are not quarterable"
+        return 4, s.m // 4
+    return 1, s.m
+
+
+def _part_fns(s):
+    """fwd/inv block permutations over part lists (see _part_layout).
+
+    fwd: var-side parts -> check-side view (g[i] = x[perm(i)]).
+    inv: check-side parts -> var-side scatter (y[perm(i)] = g[i]).
+    Each returns a NEW list of (q, B) arrays; inputs are not mutated.
+    """
+    P, q = _part_layout(s)
+
+    def _roll(x, sh):
         return x if sh == 0 else pltpu.roll(x, sh, axis=0)
 
-    def inv(x, perm):
-        sh = perm.shift % M
-        return x if sh == 0 else pltpu.roll(x, sh, axis=0)
+    def fwd(parts, perm):
+        if perm.kind == "rot":
+            if P == 1:
+                return [_roll(parts[0], (-perm.shift) % q)]
+            return list(parts)  # identity (shift 0 asserted above)
+        # check part t reads var part (theta+t)%4 rolled by -phis[t]
+        return [
+            _roll(parts[(perm.theta + t) % 4], (-perm.phis[t]) % q)
+            for t in range(4)
+        ]
 
-    return fwd, inv
+    def inv(parts, perm):
+        if perm.kind == "rot":
+            if P == 1:
+                return [_roll(parts[0], perm.shift % q)]
+            return list(parts)
+        # var part v receives check part t=(v-theta)%4 rolled by +phis[t]
+        out = []
+        for v in range(4):
+            t = (v - perm.theta) % 4
+            out.append(_roll(parts[t], perm.phis[t] % q))
+        return out
+
+    return P, q, fwd, inv
 
 
 def _resolve_batch_tile(batch_tile, M, interpret, default=None):
@@ -131,13 +218,19 @@ def _check_code(code, dtype, alpha, static_int_err):
     elif dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         raise ValueError(static_int_err)
     s = qc_structure(code)
-    if s.m >= 128:
-        raise ValueError(
-            f"pallas tc decoder is the small-M path (M < 128); {code.name} "
-            f"has M={s.m} — use the pallas_qc kernels"
-        )
     if any(perm.kind != "rot" for row in s.rows for perm in row):
-        raise ValueError("pallas tc decoder requires pure-rotation prototypes")
+        # pi quarters must be sublane-tile-aligned (f32: 8 rows) and the
+        # identity blocks unshifted for the quartered parts to be closed
+        # under every perm (_part_layout); true for all six TM codes
+        if (s.m // 4) % 8 or any(
+            perm.kind == "rot" and perm.shift
+            for row in s.rows
+            for perm in row
+        ):
+            raise ValueError(
+                "pallas tc decoder requires pure-rotation prototypes or "
+                f"quarterable pi prototypes; {code.name} has M={s.m}"
+            )
     return code, dtype, is_int, sat_lo, sat_hi, s
 
 
@@ -191,7 +284,7 @@ def make_ms_decoder_pallas_tc_layered(
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
-    fwd, inv = _roll_fns(M)
+    P, q, fwd, inv = _part_fns(s)
     row_off = [0]
     for row in s.rows:
         row_off.append(row_off[-1] + len(row))
@@ -210,6 +303,18 @@ def make_ms_decoder_pallas_tc_layered(
         fdone_ref,  # scratch: (1, B) f32
         fiters_ref,  # scratch: (1, B) i32
     ):
+        # all (M, B) logical planes are carried as P parts of q sublanes
+        # (part lists — _part_layout); refs are addressed by part slice
+        def rparts(ref, base):
+            return [
+                ref[base + j * q : base + (j + 1) * q, :].astype(f32)
+                for j in range(P)
+            ]
+
+        def wparts(ref, base, parts):
+            for j, x in enumerate(parts):
+                ref[base + j * q : base + (j + 1) * q, :] = x.astype(dtype)
+
         fdone_ref[...] = jnp.zeros((1, B), f32)
         fiters_ref[...] = jnp.full((1, B), maxiters, jnp.int32)
         frozen_ref[...] = jnp.zeros((V, B), i32)
@@ -228,74 +333,103 @@ def make_ms_decoder_pallas_tc_layered(
                 ts = []
                 for a, perm in enumerate(row):
                     e = row_off[r] + a
-                    c0 = perm.col * M
-                    g = fwd(va_ref[c0 : c0 + M, :].astype(f32), perm)
+                    g = fwd(rparts(va_ref, perm.col * M), perm)
                     if first:
                         t = g
                     else:
-                        t = g - us_ref[e * M : (e + 1) * M, :].astype(f32)
+                        t = [gi - ui for gi, ui in zip(g, rparts(us_ref, e * M))]
                         if is_int:  # saturating sub (decoder.rs:46-48)
-                            t = jnp.clip(t, sat_lo, sat_hi)
-                        tp = tps_ref[e * M : (e + 1) * M, :].astype(f32)
-                        keep = jnp.logical_or((t < 0.0) == (tp < 0.0), tp == 0.0)
-                        t = jnp.where(keep, t, 0.0)  # (decoder.rs:420-426)
+                            t = [jnp.clip(x, sat_lo, sat_hi) for x in t]
+                        # self-correction (decoder.rs:420-426)
+                        t = [
+                            jnp.where(
+                                jnp.logical_or((x < 0.0) == (tp < 0.0), tp == 0.0),
+                                x, 0.0,
+                            )
+                            for x, tp in zip(t, rparts(tps_ref, e * M))
+                        ]
                     ts.append(t)
                 # two smallest |t| + sign product across the layer's addends
                 # (sign product as an i1 XOR chain — exact boolean, saves
-                # the bool->f32 casts + mod-2, see pallas_qc.py)
-                m1 = jnp.full((M, B), sat_hi if is_int else BIG, f32)
-                m2 = jnp.full((M, B), sat_hi, f32) if is_int else jnp.zeros(
-                    (M, B), f32
-                )
-                sgb = jnp.zeros((M, B), jnp.bool_)
+                # the bool->f32 casts + mod-2, see pallas_qc.py); parts
+                # never interact: P independent chains
+                big0 = sat_hi if is_int else BIG
+                m1 = [jnp.full((q, B), big0, f32) for _ in range(P)]
+                m2 = [
+                    jnp.full((q, B), sat_hi, f32) if is_int
+                    else jnp.zeros((q, B), f32)
+                    for _ in range(P)
+                ]
+                sgb = [jnp.zeros((q, B), jnp.bool_) for _ in range(P)]
                 a1s = []
                 for t in ts:
                     if is_int:  # saturating abs: |-128| -> 127
-                        a1 = jnp.minimum(jnp.abs(t), sat_hi)
+                        a1 = [jnp.minimum(jnp.abs(x), sat_hi) for x in t]
                     else:
-                        a1 = jnp.abs(t.astype(dtype).astype(f32))
+                        a1 = [jnp.abs(x.astype(dtype).astype(f32)) for x in t]
                     a1s.append(a1)
-                    is_new = a1 < m1
-                    m2 = jnp.where(is_new, m1, jnp.minimum(m2, a1))
-                    m1 = jnp.minimum(m1, a1)
-                    sgb = jnp.logical_xor(sgb, t < 0.0)
+                    for j in range(P):
+                        is_new = a1[j] < m1[j]
+                        m2[j] = jnp.where(is_new, m1[j], jnp.minimum(m2[j], a1[j]))
+                        m1[j] = jnp.minimum(m1[j], a1[j])
+                        sgb[j] = jnp.logical_xor(sgb[j], t[j] < 0.0)
                 # pass 2: new u; posterior update va += perm_inv(u - u_old)
                 for a, perm in enumerate(row):
                     e = row_off[r] + a
                     c0 = perm.col * M
                     t = ts[a]
-                    mag = jnp.where(a1s[a] == m1, m2, m1)
-                    if alpha_c is not None:
-                        mag = alpha_c * mag
-                    neg = jnp.logical_xor(sgb, t < 0.0)
-                    u = jnp.where(neg, -mag, mag)
-                    du = u if first else u - us_ref[e * M : (e + 1) * M, :].astype(f32)
+                    u = []
+                    for j in range(P):
+                        mag = jnp.where(a1s[a][j] == m1[j], m2[j], m1[j])
+                        if alpha_c is not None:
+                            mag = alpha_c * mag
+                        neg = jnp.logical_xor(sgb[j], t[j] < 0.0)
+                        u.append(jnp.where(neg, -mag, mag))
+                    if first:
+                        du = u
+                    else:
+                        du = [
+                            ui - uo for ui, uo in zip(u, rparts(us_ref, e * M))
+                        ]
                     # the int LAYERED posterior accumulator stays WIDE —
                     # only messages saturate (qc_minsum.py
                     # make_ms_decoder_layered docstring; the flooding
                     # kernel below keeps the reference's transient clip)
-                    va_ref[c0 : c0 + M, :] += inv(du, perm).astype(dtype)
-                    us_ref[e * M : (e + 1) * M, :] = u.astype(dtype)
-                    tps_ref[e * M : (e + 1) * M, :] = t.astype(dtype)
+                    dv = inv(du, perm)
+                    for j in range(P):
+                        va_ref[c0 + j * q : c0 + (j + 1) * q, :] += dv[j].astype(
+                            dtype
+                        )
+                    wparts(us_ref, e * M, u)
+                    wparts(tps_ref, e * M, t)
             # end-of-iteration syndrome over the FINAL posteriors (i32 sign
             # planes, XOR parity — see pallas_qc.py layered kernel)
-            sign_blocks = [
-                (va_ref[c * M : (c + 1) * M, :].astype(f32) < 0.0).astype(i32)
+            sign_parts = [
+                [
+                    (va_ref[c * M + j * q : c * M + (j + 1) * q, :].astype(f32)
+                     < 0.0).astype(i32)
+                    for j in range(P)
+                ]
                 for c in range(Cc)
             ]
             ok = jnp.ones((1, B), f32)
             for r, row in enumerate(s.rows):
                 par = None
                 for perm in row:
-                    g = fwd(sign_blocks[perm.col], perm)
-                    par = g if par is None else par ^ g
-                parf = par.astype(f32)  # exact 0/1
-                ok = ok * jnp.min(1.0 - parf, axis=0, keepdims=True)
+                    g = fwd(sign_parts[perm.col], perm)
+                    par = g if par is None else [x ^ y for x, y in zip(par, g)]
+                for x in par:
+                    parf = x.astype(f32)  # exact 0/1
+                    ok = ok * jnp.min(1.0 - parf, axis=0, keepdims=True)
             # ---- freeze converged codewords at this iteration ----
             done = fdone_ref[...]
             newly = ok * (1.0 - done)
-            signs = jnp.concatenate(sign_blocks, axis=0)  # reuse syndrome planes
-            frozen_ref[...] = jnp.where(newly > 0.0, signs, frozen_ref[...])
+            for c in range(Cc):  # reuse the syndrome's sign planes
+                for j in range(P):
+                    sl = slice(c * M + j * q, c * M + (j + 1) * q)
+                    frozen_ref[sl, :] = jnp.where(
+                        newly > 0.0, sign_parts[c][j], frozen_ref[sl, :]
+                    )
             fiters_ref[...] = jnp.where(
                 newly > 0.0, jnp.full((1, B), 1, jnp.int32) * it, fiters_ref[...]
             )
@@ -388,13 +522,13 @@ def make_ms_decoder_pallas_tc_qc(
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
-    fwd, inv = _roll_fns(M)
+    P, q, fwd, inv = _part_fns(s)
 
     i32 = jnp.int32
 
     def u_from(v, m1, m2, sg):
-        """Check->var message from stats (decoder.rs:388-405); v/m1/m2 f32,
-        sg the BOOLEAN sign product (see pallas_qc.py)."""
+        """Check->var message from stats (decoder.rs:388-405); v/m1/m2 f32
+        parts, sg the BOOLEAN sign product (see pallas_qc.py)."""
         av = jnp.abs(v)
         mag = jnp.where(av == m1, m2, m1)
         if alpha_c is not None:
@@ -416,6 +550,17 @@ def make_ms_decoder_pallas_tc_qc(
         fdone_ref,  # scratch: (1, B) f32
         fiters_ref,  # scratch: (1, B) i32
     ):
+        # (M, B) planes carried as P parts of q sublanes (_part_layout)
+        def rparts(ref, base):
+            return [
+                ref[base + j * q : base + (j + 1) * q, :].astype(f32)
+                for j in range(P)
+            ]
+
+        def wparts(ref, base, parts):
+            for j, x in enumerate(parts):
+                ref[base + j * q : base + (j + 1) * q, :] = x.astype(dtype)
+
         # NO zero-init of vs/m1/m2/sg: iteration 0 is PEELED with the
         # reference's zero-state shortcut (u == 0 everywhere), which writes
         # every scratch plane before anything reads them.
@@ -434,70 +579,87 @@ def make_ms_decoder_pallas_tc_qc(
             if not first:
                 e = 0
                 for r, row in enumerate(s.rows):
-                    r0 = r * M
-                    m1o = m1_ref[r0 : r0 + M, :].astype(f32)
-                    m2o = m2_ref[r0 : r0 + M, :].astype(f32)
-                    sgo = sg_ref[r0 : r0 + M, :] != 0
+                    m1o = rparts(m1_ref, r * M)
+                    m2o = rparts(m2_ref, r * M)
+                    sgo = [
+                        sg_ref[r * M + j * q : r * M + (j + 1) * q, :] != 0
+                        for j in range(P)
+                    ]
                     for perm in row:
-                        u = u_from(
-                            vs_ref[e * M : (e + 1) * M, :].astype(f32),
-                            m1o, m2o, sgo,
-                        )
+                        u = [
+                            u_from(v, m1o[j], m2o[j], sgo[j])
+                            for j, v in enumerate(rparts(vs_ref, e * M))
+                        ]
                         c0 = perm.col * M
-                        if is_int:  # saturate every add (decoder.rs:46-48)
-                            va_ref[c0 : c0 + M, :] = jnp.clip(
-                                va_ref[c0 : c0 + M, :] + inv(u, perm),
-                                sat_lo, sat_hi,
-                            )
-                        else:
-                            va_ref[c0 : c0 + M, :] += inv(u, perm).astype(dtype)
+                        uv = inv(u, perm)
+                        for j in range(P):
+                            sl = slice(c0 + j * q, c0 + (j + 1) * q)
+                            if is_int:  # saturate every add (decoder.rs:46-48)
+                                va_ref[sl, :] = jnp.clip(
+                                    va_ref[sl, :] + uv[j], sat_lo, sat_hi
+                                )
+                            else:
+                                va_ref[sl, :] += uv[j].astype(dtype)
                         e += 1
             # ---- sweep 2: per-row streamed stats + self-corrected v ----
-            # sign products and parities as i1 XOR chains (pallas_qc.py)
+            # sign products and parities as i1 XOR chains (pallas_qc.py);
+            # parts never interact: P independent chains per row
             ok = jnp.ones((1, B), f32)
             e = 0
             for r, row in enumerate(s.rows):
-                r0 = r * M
                 if not first:
-                    m1o = m1_ref[r0 : r0 + M, :].astype(f32)
-                    m2o = m2_ref[r0 : r0 + M, :].astype(f32)
-                    sgo = sg_ref[r0 : r0 + M, :] != 0
-                m1n = jnp.full((M, B), sat_hi if is_int else BIG, f32)
-                m2n = jnp.full((M, B), sat_hi, f32) if is_int else jnp.zeros(
-                    (M, B), f32
-                )
-                sgc = jnp.zeros((M, B), jnp.bool_)
-                par = jnp.zeros((M, B), jnp.bool_)
+                    m1o = rparts(m1_ref, r * M)
+                    m2o = rparts(m2_ref, r * M)
+                    sgo = [
+                        sg_ref[r * M + j * q : r * M + (j + 1) * q, :] != 0
+                        for j in range(P)
+                    ]
+                big0 = sat_hi if is_int else BIG
+                m1n = [jnp.full((q, B), big0, f32) for _ in range(P)]
+                m2n = [
+                    jnp.full((q, B), sat_hi, f32) if is_int
+                    else jnp.zeros((q, B), f32)
+                    for _ in range(P)
+                ]
+                sgc = [jnp.zeros((q, B), jnp.bool_) for _ in range(P)]
+                par = [jnp.zeros((q, B), jnp.bool_) for _ in range(P)]
                 for perm in row:
-                    c0 = perm.col * M
-                    g = fwd(va_ref[c0 : c0 + M, :].astype(f32), perm)
+                    g = fwd(rparts(va_ref, perm.col * M), perm)
                     if first:
                         nv = g
                     else:
-                        v = vs_ref[e * M : (e + 1) * M, :].astype(f32)
-                        u = u_from(v, m1o, m2o, sgo)
-                        nv = g - u
-                        if is_int:  # saturating sub (decoder.rs:46-48)
-                            nv = jnp.clip(nv, sat_lo, sat_hi)
-                        # self-correction (decoder.rs:420-426)
-                        keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
-                        nv = jnp.where(keep, nv, 0.0)
-                    vs_ref[e * M : (e + 1) * M, :] = nv.astype(dtype)
-                    par = jnp.logical_xor(par, g < 0.0)
-                    if is_int:  # saturating abs: |-128| -> 127
-                        a1 = jnp.minimum(jnp.abs(nv), sat_hi)
-                    else:
-                        a1 = jnp.abs(nv.astype(dtype).astype(f32))
-                    is_new = a1 < m1n
-                    m2n = jnp.where(is_new, m1n, jnp.minimum(m2n, a1))
-                    m1n = jnp.minimum(m1n, a1)
-                    sgc = jnp.logical_xor(sgc, nv < 0.0)
+                        vo = rparts(vs_ref, e * M)
+                        nv = []
+                        for j in range(P):
+                            u = u_from(vo[j], m1o[j], m2o[j], sgo[j])
+                            x = g[j] - u
+                            if is_int:  # saturating sub (decoder.rs:46-48)
+                                x = jnp.clip(x, sat_lo, sat_hi)
+                            # self-correction (decoder.rs:420-426)
+                            keep = jnp.logical_or(
+                                (x < 0.0) == (vo[j] < 0.0), vo[j] == 0.0
+                            )
+                            nv.append(jnp.where(keep, x, 0.0))
+                    wparts(vs_ref, e * M, nv)
+                    for j in range(P):
+                        par[j] = jnp.logical_xor(par[j], g[j] < 0.0)
+                        if is_int:  # saturating abs: |-128| -> 127
+                            a1 = jnp.minimum(jnp.abs(nv[j]), sat_hi)
+                        else:
+                            a1 = jnp.abs(nv[j].astype(dtype).astype(f32))
+                        is_new = a1 < m1n[j]
+                        m2n[j] = jnp.where(is_new, m1n[j], jnp.minimum(m2n[j], a1))
+                        m1n[j] = jnp.minimum(m1n[j], a1)
+                        sgc[j] = jnp.logical_xor(sgc[j], nv[j] < 0.0)
                     e += 1
-                m1_ref[r0 : r0 + M, :] = m1n.astype(dtype)
-                m2_ref[r0 : r0 + M, :] = m2n.astype(dtype)
-                sg_ref[r0 : r0 + M, :] = sgc.astype(i32)
-                parf = par.astype(f32)  # exact 0/1
-                ok = ok * jnp.min(1.0 - parf, axis=0, keepdims=True)
+                wparts(m1_ref, r * M, m1n)
+                wparts(m2_ref, r * M, m2n)
+                for j in range(P):
+                    sg_ref[r * M + j * q : r * M + (j + 1) * q, :] = sgc[
+                        j
+                    ].astype(i32)
+                    parf = par[j].astype(f32)  # exact 0/1
+                    ok = ok * jnp.min(1.0 - parf, axis=0, keepdims=True)
             # ---- freeze converged codewords at this iteration ----
             done = fdone_ref[...]
             newly = ok * (1.0 - done)
@@ -610,7 +772,16 @@ def make_bf_decoder_pallas_tc(
     B = _resolve_batch_tile(batch_tile, M, interpret,
                             default=_bf_batch_tile_tc(M))
     f32 = jnp.float32
-    fwd, inv = _roll_fns(M)
+    # pure-rot TC prototypes: P == 1, planes stay whole (single-part view
+    # of _part_fns; the min-sum kernels above use the full part lists)
+    _P, _q, _fwdp, _invp = _part_fns(s)
+    assert _P == 1
+
+    def fwd(x, perm):
+        return _fwdp([x], perm)[0]
+
+    def inv(x, perm):
+        return _invp([x], perm)[0]
 
     def kernel(
         in_ref,  # (V, B) f32 hard bits 0/1

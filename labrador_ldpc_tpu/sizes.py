@@ -178,7 +178,15 @@ def decoder_memory(
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     n, V = p.n, Cc * M
     sumA = sum(len(r) for r in s.rows)
-    node_major = M < 128
+    # the min-sum production boundary lives in pallas_tc.ms_node_major
+    # (M <= 256: TC + quartered TM1280/TM1536); the bf kernels stay
+    # node-major only for the unpunctured TC codes (M < 128)
+    if impl == "pallas_bf":
+        node_major = M < 128
+    else:
+        from .ops.pallas_tc import ms_node_major
+
+        node_major = ms_node_major(M)
     in_dt = jnp.dtype(dtype) if impl != "pallas_bf" else _F32
     st = _storage_dtype(in_dt)
 

@@ -187,10 +187,12 @@ def test_resolve_impl_routing_table():
     bench/parity sessions."""
     from labrador_ldpc_tpu.channel.awgn import resolve_impl
 
-    # TPU: the fused Pallas kernels; TM1280 floods (its masked-roll layered
-    # syndrome pass is measured slower), everything else layered
+    # TPU: the fused Pallas layered kernels for every code — the round-4
+    # quartered node-major path removed the TM1280 flooding exception
+    # (nm layered 4.25M > nm flooding 3.88M > old lane-major best 2.07M)
     assert resolve_impl("TM8192", "float32", "auto", backend="tpu") == "pallas_layered"
-    assert resolve_impl("TM1280", "bfloat16", "auto", backend="tpu") == "pallas_qc"
+    assert resolve_impl("TM1280", "bfloat16", "auto", backend="tpu") == "pallas_layered"
+    assert resolve_impl("TM1280", "float32", "auto", backend="tpu") == "pallas_layered"
     assert resolve_impl("TC512", "int8", "auto", backend="tpu") == "pallas_layered"
     assert resolve_impl("TM2048", "int16", "auto", backend="tpu") == "pallas_layered"
     # Mosaic takes neither f64 nor int32: XLA layered / reference-order
@@ -205,24 +207,21 @@ def test_resolve_impl_routing_table():
     assert resolve_impl("TM1280", "float32", "pallas_layered", backend="tpu") == "pallas_layered"
 
 
-def test_resolve_impl_bf16_guidance():
-    """TM1280/TM1536 + f32 on TPU emit the one-time measured-dtype hint
-    (bf16 wins 1.17-1.48x there); no other combination warns."""
+def test_resolve_impl_emits_no_warnings():
+    """The round-3 bf16 guidance for TM1280/TM1536 is retired: it
+    described the lane-major masked-roll kernels; the quartered node-major
+    kernels are faster in f32 (4.25M/3.67M vs bf16 3.89M/3.30M cw/s), so
+    'auto' routing must be silent everywhere."""
     import warnings
 
     from labrador_ldpc_tpu.channel.awgn import resolve_impl
 
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        assert resolve_impl("TM1280", "float32", "auto", backend="tpu") == "pallas_qc"
-        assert resolve_impl("TM1536", "float32", "auto", backend="tpu") == "pallas_layered"
-    assert sum("bfloat16" in str(w.message) for w in rec) == 2
-    with warnings.catch_warnings(record=True) as rec:
-        warnings.simplefilter("always")
-        resolve_impl("TM1280", "bfloat16", "auto", backend="tpu")  # already bf16
-        resolve_impl("TM8192", "float32", "auto", backend="tpu")  # f32 wins here
-        resolve_impl("TM1280", "float32", "auto", backend="cpu")  # not the TPU kernels
-        resolve_impl("TM1280", "float32", "pallas_qc", backend="tpu")  # explicit impl
+        for name in ("TM1280", "TM1536", "TM8192", "TC128"):
+            for dt in ("float32", "bfloat16", "int8"):
+                resolve_impl(name, dt, "auto", backend="tpu")
+                resolve_impl(name, dt, "auto", backend="cpu")
     assert not rec
 
 

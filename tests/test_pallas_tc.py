@@ -150,10 +150,67 @@ def test_dispatch_from_pallas_qc_factories(name):
     _assert_same(r_d, r_q)
 
 
+TM_PI_CODES = ["TM1280", "TM1536"]  # M = 128 / 256: node-major pi perms
+
+
+@pytest.mark.parametrize("name", TM_PI_CODES)
+def test_pallas_tc_pi_layered_matches_layered_xla_f32(name):
+    """M=128/256 TM codes in the node-major layout: the pi permutations
+    (theta quarter rotation + per-quarter phi rolls) lower as
+    sublane-tile-aligned quarter slice+roll+concat (_roll_fns). Bit-exact
+    vs the XLA layered decoder, including the punctured tail."""
+    code = get_code(name)
+    noisy = _noisy(code, 6, 607, sigma=0.6)
+    r_p = make_ms_decoder_pallas_tc_layered(
+        code, jnp.float32, maxiters=8, batch_tile=2, interpret=True
+    )(noisy)
+    r_q = make_ms_decoder_layered(code, jnp.float32, maxiters=8)(noisy)
+    _assert_same(r_p, r_q)
+
+
+@pytest.mark.parametrize("name", TM_PI_CODES)
+def test_pallas_tc_pi_flooding_matches_qc_xla_f32(name):
+    code = get_code(name)
+    noisy = _noisy(code, 6, 709, sigma=0.6)
+    r_p = make_ms_decoder_pallas_tc_qc(
+        code, jnp.float32, maxiters=8, batch_tile=2, interpret=True
+    )(noisy)
+    r_q = make_ms_decoder_qc(code, jnp.float32, maxiters=8)(noisy)
+    _assert_same(r_p, r_q)
+
+
+def test_pallas_tc_pi_layered_int8_matches_twin():
+    """Saturating int semantics on the node-major pi path: bit-exact vs
+    the XLA layered int twin (wide-accumulator contract, CLAUDE.md)."""
+    from labrador_ldpc_tpu.channel.awgn import default_llr_scale, quantize_llrs
+
+    code = get_code("TM1280")
+    noisy = _noisy(code, 6, 811, sigma=0.6)
+    llrs = quantize_llrs(noisy, jnp.int8, default_llr_scale(jnp.int8))
+    r_p = make_ms_decoder_pallas_tc_layered(
+        code, jnp.int8, maxiters=8, batch_tile=2, interpret=True
+    )(llrs)
+    r_l = make_ms_decoder_layered(code, jnp.int8, maxiters=8)(llrs)
+    _assert_same(r_p, r_l)
+
+
 def test_pallas_tc_rejects_bad_configs():
     with pytest.raises(ValueError):
         make_ms_decoder_pallas_tc_qc("TC128", jnp.int32)
     with pytest.raises(ValueError):  # no alpha on the saturating path
         make_ms_decoder_pallas_tc_layered("TC128", jnp.int8, alpha=0.8)
-    with pytest.raises(ValueError):  # TM codes belong to the pallas_qc path
-        make_ms_decoder_pallas_tc_qc("TM2048", jnp.float32)
+    with pytest.raises(ValueError):  # batch on lanes: compiled tiles %128
+        make_ms_decoder_pallas_tc_qc("TC128", jnp.float32, batch_tile=96)
+
+
+def test_pallas_tc_pi_large_m_layered_matches_twin():
+    """The quartered node-major path is open to EVERY TM code (all rot
+    blocks are identity, _part_layout); pin the largest-M case TM2048
+    (M=512, q=128) bit-exact vs the XLA layered twin."""
+    code = get_code("TM2048")
+    noisy = _noisy(code, 4, 913, sigma=0.6)
+    r_p = make_ms_decoder_pallas_tc_layered(
+        code, jnp.float32, maxiters=6, batch_tile=2, interpret=True
+    )(noisy)
+    r_q = make_ms_decoder_layered(code, jnp.float32, maxiters=6)(noisy)
+    _assert_same(r_p, r_q)

@@ -1,0 +1,76 @@
+"""Scratch TPU probe: per-dispatch fixed cost breakdown for the TM8192
+headline kernel (pallas_layered f32, B=16384).
+
+Method: pure-noise LLRs never converge, so decode time at maxiters=m is
+  t(m) = fixed + m * per_iter        (iteration 0 is peeled; m >= 1)
+A least-squares fit over m in {1,2,4,8} separates the per-iteration loop
+cost from everything else: input LLR DMA (512 MB), output bits DMA
+(168 MB uint8), scratch init, the peeled iteration-0 shortcut, final
+sign/freeze epilogue, grid/pipeline stalls. All times pipelined (8 in
+flight, sync once) to cancel the ~30 ms tunnel round trip.
+"""
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
+
+import numpy as np
+import jax.numpy as jnp
+
+from labrador_ldpc_tpu.codes.params import get_code
+from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+
+PIPELINE = 8
+
+
+def _sync(out):
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+        out,
+    )
+
+
+def timeit(fn, reps=4):
+    _sync(fn())
+    best = 1e30
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(PIPELINE)]
+        _sync(outs)
+        best = min(best, (time.perf_counter() - t0) / PIPELINE)
+    return best
+
+
+rng = np.random.default_rng(0)
+code = get_code("TM8192")
+B = 16384
+noise = jax.device_put(
+    jnp.asarray(rng.standard_normal((B, code.n)), jnp.float32))
+
+ms = [1, 2, 4, 8]
+ts = []
+for m in ms:
+    dec = make_ms_decoder_pallas_layered(code, jnp.float32, maxiters=m)
+    t = timeit(lambda: dec(noise))
+    ts.append(t)
+    print(f"maxiters={m}: {t*1e3:8.3f} ms/batch  ({B/t/1e6:.2f}M cw/s)",
+          flush=True)
+
+A = np.vstack([np.ones(len(ms)), np.asarray(ms, float)]).T
+(fixed, per_iter), *_ = np.linalg.lstsq(A, np.asarray(ts), rcond=None)
+print(f"\nfit: fixed = {fixed*1e3:.3f} ms/batch, per_iter = "
+      f"{per_iter*1e3:.3f} ms/batch", flush=True)
+in_dma = B * code.n * 4 / 819e9
+out_dma = B * 10240 * 1 / 819e9  # V=10240 uint8 bits + tiny done/iter rows
+print(f"theoretical DMA at 819 GB/s: in {in_dma*1e3:.3f} ms, out "
+      f"{out_dma*1e3:.3f} ms (sum {(in_dma+out_dma)*1e3:.3f})", flush=True)
+print(f"fixed cost as iteration-equivalents: {fixed/per_iter:.2f}",
+      flush=True)
+
+# headline-protocol context: 3-flip batch converges at iteration ~2, so
+# the early-exiting batch pays ~fixed + ~2-3 iters; report the share.
+print(f"share of a fixed+2.5-iter headline batch: "
+      f"{fixed/(fixed+2.5*per_iter)*100:.1f}%", flush=True)
