@@ -168,6 +168,79 @@ def _static_perm_fns(M: int):
     return fwd_perm_s, inv_perm_s
 
 
+def _lane_part_fns(s):
+    """Parts formulation on the LANE axis — the lane-major mirror of
+    pallas_tc._part_fns.
+
+    For M >= 512 every pi quarter is lane-tile aligned (q = M/4 >= 128)
+    and every TM rot block is the identity (shift 0, codes/constants.py),
+    so a logical (B, M) plane splits into FOUR independent (B, q) lane
+    parts closed under every block permutation: identity keeps parts in
+    place, a pi perm reindexes parts and lane-rolls each. The kernels
+    then never materialize an (B, M) value: no concats, no slices of
+    computed values. Despite removing the shape_cast/slice/concat ops
+    the round-4 Mosaic census counted at ~26% of issue slots, this is a
+    measured WIN only on TM2048 (gating rationale in the body comment) —
+    other codes return ONE part with the _static_perm_fns full-plane
+    perms (the kernels are generic over P).
+
+    Returns (P, q, fwd, inv); fwd/inv map part lists to NEW part lists.
+    fwd: var-side parts -> check-side view (g[i] = x[perm(i)]);
+    inv: check-side parts -> var-side scatter (y[perm(i)] = g[i]).
+    """
+    M = s.m
+    sumA = sum(len(r) for r in s.rows)
+    has_pi = any(perm.kind != "rot" for row in s.rows for perm in row)
+    # Measured per-code (suite protocol, layered f32, v5e): the quartered
+    # lane parts WIN on TM2048 (3.99M vs 3.44M cw/s, +16%) but LOSE or
+    # tie elsewhere — TM8192 flat (1.26M), TM5120 -7%, TM6144 -38%
+    # (steady-state iter rates flat throughout: the unrolled loop is
+    # dependency-bound, not issue-slot-bound, so removing the concat
+    # movement ops only pays where per-tile scheduling was the
+    # bottleneck). Gate to the measured winner; everything else keeps the
+    # round-3 full-plane slice+concat (M >= 512) / masked-roll (M < 512)
+    # permutations.
+    use_parts = has_pi and M == 512 and sumA <= 15
+    if not use_parts:
+        fwd_s, inv_s = _static_perm_fns(M)
+
+        def fwd1(parts, perm):
+            return [fwd_s(parts[0], perm)]
+
+        def inv1(parts, perm):
+            return [inv_s(parts[0], perm)]
+
+        return 1, M, fwd1, inv1
+    assert all(
+        perm.kind != "rot" or perm.shift == 0 for row in s.rows for perm in row
+    ), "mixed nonzero-rotation + pi prototypes are not quarterable"
+    q = M // 4
+
+    def _roll(x, sh):
+        return x if sh == 0 else pltpu.roll(x, sh, axis=1)
+
+    def fwd(parts, perm):
+        if perm.kind == "rot":
+            return list(parts)  # identity
+        # check part t reads var part (theta+t)%4 rolled by -phis[t]
+        return [
+            _roll(parts[(perm.theta + t) % 4], (-perm.phis[t]) % q)
+            for t in range(4)
+        ]
+
+    def inv(parts, perm):
+        if perm.kind == "rot":
+            return list(parts)
+        # var part v receives check part t=(v-theta)%4 rolled by +phis[t]
+        out = []
+        for v in range(4):
+            t = (v - perm.theta) % 4
+            out.append(_roll(parts[t], perm.phis[t] % q))
+        return out
+
+    return 4, q, fwd, inv
+
+
 def _default_batch_tile(M: int, sumA: int) -> int:
     """Per-code batch-tile defaults, measured on a v5e core (layered f32,
     B=32768/16384, batch-tile sweep protocol: tools/bench_pallas_qc.py
@@ -466,10 +539,11 @@ def make_ms_decoder_pallas_qc(
 
     # ---- statically-unrolled variant ------------------------------------
     # Same update rules, but the edge loops are Python-unrolled with the
-    # permutation shifts as compile-time constants: identity sub-blocks
-    # (HI with shift 0 — most of the TM prototypes' addends) cost zero
-    # rolls, and the rest compile to static lane permutes.
-    fwd_perm_s, inv_perm_s = _static_perm_fns(M)
+    # permutation shifts as compile-time constants, and every (B, M)
+    # logical plane carried as P lane parts (_lane_part_fns): identity
+    # sub-blocks cost zero rolls, pi perms are part reindexes + per-part
+    # static lane rolls, and no (B, M) value is ever materialized.
+    P, pq, fwd_parts, inv_parts = _lane_part_fns(s)
 
     def kernel_static(
         llr_ref,
@@ -485,6 +559,21 @@ def make_ms_decoder_pallas_qc(
         fdone_ref,
         fiters_ref,
     ):
+        def vparts(base):
+            return [
+                va_ref[:, base + j * pq : base + (j + 1) * pq].astype(f32)
+                for j in range(P)
+            ]
+
+        def eparts(ref, e):
+            return [
+                ref[e, :, j * pq : (j + 1) * pq].astype(f32) for j in range(P)
+            ]
+
+        def weparts(ref, e, parts):
+            for j, x in enumerate(parts):
+                ref[e, :, j * pq : (j + 1) * pq] = x.astype(dtype)
+
         # NO zero-init of vs/m1/m2/sg: iteration 0 is PEELED below with the
         # reference's zero-state shortcut (u == 0 everywhere, decoder.rs:374
         # zeroes the working area), which writes every one of those scratch
@@ -506,70 +595,85 @@ def make_ms_decoder_pallas_qc(
             if not first:
                 e = 0
                 for r, row in enumerate(s.rows):
-                    m1o = m1_ref[r].astype(f32)
-                    m2o = m2_ref[r].astype(f32)
-                    sgo = sg_ref[r] != 0
+                    m1o = eparts(m1_ref, r)
+                    m2o = eparts(m2_ref, r)
+                    sgo = [
+                        sg_ref[r, :, j * pq : (j + 1) * pq] != 0 for j in range(P)
+                    ]
                     for perm in row:
-                        u = u_from(vs_ref[e].astype(f32), m1o, m2o, sgo)
+                        u = [
+                            u_from(v, m1o[j], m2o[j], sgo[j])
+                            for j, v in enumerate(eparts(vs_ref, e))
+                        ]
                         c0 = perm.col * M
-                        if is_int:  # saturate every add (decoder.rs:46-48)
-                            va_ref[:, c0 : c0 + M] = jnp.clip(
-                                va_ref[:, c0 : c0 + M] + inv_perm_s(u, perm),
-                                sat_lo,
-                                sat_hi,
-                            )
-                        else:
-                            va_ref[:, c0 : c0 + M] += inv_perm_s(u, perm).astype(
-                                dtype
-                            )
+                        uv = inv_parts(u, perm)
+                        for j in range(P):
+                            sl = slice(c0 + j * pq, c0 + (j + 1) * pq)
+                            if is_int:  # saturate every add (decoder.rs:46-48)
+                                va_ref[:, sl] = jnp.clip(
+                                    va_ref[:, sl] + uv[j], sat_lo, sat_hi
+                                )
+                            else:
+                                va_ref[:, sl] += uv[j].astype(dtype)
                         e += 1
             # ---- sweep 2: per-row streamed stats + self-corrected v ----
             # sign products and parities are exact booleans: i1 XOR chains
             # instead of float adds + mod-2 (identical values — STATUS.md
-            # roofline; the sg plane stores the bit as i32)
+            # roofline; the sg plane stores the bit as i32); parts never
+            # interact: P independent chains per row
             ok = jnp.ones((B, 1), f32)
             e = 0
             for r, row in enumerate(s.rows):
                 if not first:
-                    m1o = m1_ref[r].astype(f32)
-                    m2o = m2_ref[r].astype(f32)
-                    sgo = sg_ref[r] != 0
-                m1n = jnp.full((B, M), sat_hi if is_int else BIG, f32)
-                m2n = jnp.full((B, M), sat_hi, f32) if is_int else jnp.zeros(
-                    (B, M), f32
-                )
-                sgc = jnp.zeros((B, M), jnp.bool_)
-                par = jnp.zeros((B, M), jnp.bool_)
+                    m1o = eparts(m1_ref, r)
+                    m2o = eparts(m2_ref, r)
+                    sgo = [
+                        sg_ref[r, :, j * pq : (j + 1) * pq] != 0 for j in range(P)
+                    ]
+                big0 = sat_hi if is_int else BIG
+                m1n = [jnp.full((B, pq), big0, f32) for _ in range(P)]
+                m2n = [
+                    jnp.full((B, pq), sat_hi, f32) if is_int
+                    else jnp.zeros((B, pq), f32)
+                    for _ in range(P)
+                ]
+                sgc = [jnp.zeros((B, pq), jnp.bool_) for _ in range(P)]
+                par = [jnp.zeros((B, pq), jnp.bool_) for _ in range(P)]
                 for perm in row:
-                    c0 = perm.col * M
-                    g = fwd_perm_s(va_ref[:, c0 : c0 + M].astype(f32), perm)
+                    g = fwd_parts(vparts(perm.col * M), perm)
                     if first:
                         nv = g
                     else:
-                        v = vs_ref[e].astype(f32)
-                        u = u_from(v, m1o, m2o, sgo)
-                        nv = g - u
-                        if is_int:  # saturating sub (decoder.rs:46-48)
-                            nv = jnp.clip(nv, sat_lo, sat_hi)
-                        # self-correction (decoder.rs:420-426)
-                        keep = jnp.logical_or((nv < 0.0) == (v < 0.0), v == 0.0)
-                        nv = jnp.where(keep, nv, 0.0)
-                    vs_ref[e] = nv.astype(dtype)
-                    par = jnp.logical_xor(par, g < 0.0)
-                    if is_int:  # saturating abs: |-128| -> 127
-                        a1 = jnp.minimum(jnp.abs(nv), sat_hi)
-                    else:
-                        a1 = jnp.abs(nv.astype(dtype).astype(f32))
-                    is_new = a1 < m1n
-                    m2n = jnp.where(is_new, m1n, jnp.minimum(m2n, a1))
-                    m1n = jnp.minimum(m1n, a1)
-                    sgc = jnp.logical_xor(sgc, nv < 0.0)
+                        vo = eparts(vs_ref, e)
+                        nv = []
+                        for j in range(P):
+                            u = u_from(vo[j], m1o[j], m2o[j], sgo[j])
+                            x = g[j] - u
+                            if is_int:  # saturating sub (decoder.rs:46-48)
+                                x = jnp.clip(x, sat_lo, sat_hi)
+                            # self-correction (decoder.rs:420-426)
+                            keep = jnp.logical_or(
+                                (x < 0.0) == (vo[j] < 0.0), vo[j] == 0.0
+                            )
+                            nv.append(jnp.where(keep, x, 0.0))
+                    weparts(vs_ref, e, nv)
+                    for j in range(P):
+                        par[j] = jnp.logical_xor(par[j], g[j] < 0.0)
+                        if is_int:  # saturating abs: |-128| -> 127
+                            a1 = jnp.minimum(jnp.abs(nv[j]), sat_hi)
+                        else:
+                            a1 = jnp.abs(nv[j].astype(dtype).astype(f32))
+                        is_new = a1 < m1n[j]
+                        m2n[j] = jnp.where(is_new, m1n[j], jnp.minimum(m2n[j], a1))
+                        m1n[j] = jnp.minimum(m1n[j], a1)
+                        sgc[j] = jnp.logical_xor(sgc[j], nv[j] < 0.0)
                     e += 1
-                m1_ref[r] = m1n.astype(dtype)
-                m2_ref[r] = m2n.astype(dtype)
-                sg_ref[r] = sgc.astype(i32)
-                parf = par.astype(f32)  # exact 0/1
-                ok = ok * jnp.min(1.0 - parf, axis=1, keepdims=True)
+                weparts(m1_ref, r, m1n)
+                weparts(m2_ref, r, m2n)
+                for j in range(P):
+                    sg_ref[r, :, j * pq : (j + 1) * pq] = sgc[j].astype(i32)
+                    parf = par[j].astype(f32)  # exact 0/1
+                    ok = ok * jnp.min(1.0 - parf, axis=1, keepdims=True)
             # ---- freeze converged codewords at this iteration ----
             done = fdone_ref[...]
             newly = ok * (1.0 - done)
@@ -743,7 +847,7 @@ def make_ms_decoder_pallas_layered(
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
-    fwd_perm_s, inv_perm_s = _static_perm_fns(M)
+    P, q, fwd_parts, inv_parts = _lane_part_fns(s)
     row_off = [0]
     for row in s.rows:
         row_off.append(row_off[-1] + len(row))
@@ -762,6 +866,24 @@ def make_ms_decoder_pallas_layered(
         fdone_ref,  # scratch: (B, 1) f32
         fiters_ref,  # scratch: (B, 1) i32
     ):
+        # all (B, M) logical planes are carried as P lane parts of q lanes
+        # (_lane_part_fns); refs are addressed by part slice, so no (B, M)
+        # value is ever materialized (no concats / computed-value slices)
+        def vparts(base):
+            return [
+                va_ref[:, base + j * q : base + (j + 1) * q].astype(f32)
+                for j in range(P)
+            ]
+
+        def eparts(ref, e):
+            return [
+                ref[e, :, j * q : (j + 1) * q].astype(f32) for j in range(P)
+            ]
+
+        def weparts(ref, e, parts):
+            for j, x in enumerate(parts):
+                ref[e, :, j * q : (j + 1) * q] = x.astype(dtype)
+
         fdone_ref[...] = jnp.zeros((B, 1), f32)
         fiters_ref[...] = jnp.full((B, 1), maxiters, jnp.int32)
         frozen_ref[...] = jnp.zeros((B, V), i32)
@@ -782,78 +904,105 @@ def make_ms_decoder_pallas_layered(
                 ts = []
                 for a, perm in enumerate(row):
                     e = row_off[r] + a
-                    c0 = perm.col * M
-                    g = fwd_perm_s(va_ref[:, c0 : c0 + M].astype(f32), perm)
+                    g = fwd_parts(vparts(perm.col * M), perm)
                     if first:
                         t = g
                     else:
-                        t = g - us_ref[e].astype(f32)
+                        t = [gi - ui for gi, ui in zip(g, eparts(us_ref, e))]
                         if is_int:  # saturating sub (decoder.rs:46-48)
-                            t = jnp.clip(t, sat_lo, sat_hi)
-                        tp = tps_ref[e].astype(f32)
-                        keep = jnp.logical_or((t < 0.0) == (tp < 0.0), tp == 0.0)
-                        t = jnp.where(keep, t, 0.0)  # (decoder.rs:420-426)
+                            t = [jnp.clip(x, sat_lo, sat_hi) for x in t]
+                        # self-correction (decoder.rs:420-426)
+                        t = [
+                            jnp.where(
+                                jnp.logical_or((x < 0.0) == (tp < 0.0), tp == 0.0),
+                                x, 0.0,
+                            )
+                            for x, tp in zip(t, eparts(tps_ref, e))
+                        ]
                     ts.append(t)
                 # two smallest |t| + sign product across the layer's addends.
                 # The sign product is an exact boolean: accumulate it as an
                 # i1 XOR chain instead of float adds + a mod-2 (saves the
                 # bool->f32 casts and the mul/floor/sub chain per layer —
-                # identical value, Mosaic-census-driven, STATUS.md roofline)
-                m1 = jnp.full((B, M), sat_hi if is_int else BIG, f32)
-                m2 = jnp.full((B, M), sat_hi, f32) if is_int else jnp.zeros(
-                    (B, M), f32
-                )
-                sgb = jnp.zeros((B, M), jnp.bool_)
+                # identical value, Mosaic-census-driven, STATUS.md roofline).
+                # Parts never interact: P independent chains.
+                big0 = sat_hi if is_int else BIG
+                m1 = [jnp.full((B, q), big0, f32) for _ in range(P)]
+                m2 = [
+                    jnp.full((B, q), sat_hi, f32) if is_int
+                    else jnp.zeros((B, q), f32)
+                    for _ in range(P)
+                ]
+                sgb = [jnp.zeros((B, q), jnp.bool_) for _ in range(P)]
                 a1s = []
                 for t in ts:
                     if is_int:  # saturating abs: |-128| -> 127
-                        a1 = jnp.minimum(jnp.abs(t), sat_hi)
+                        a1 = [jnp.minimum(jnp.abs(x), sat_hi) for x in t]
                     else:
-                        a1 = jnp.abs(t.astype(dtype).astype(f32))
+                        a1 = [jnp.abs(x.astype(dtype).astype(f32)) for x in t]
                     a1s.append(a1)
-                    is_new = a1 < m1
-                    m2 = jnp.where(is_new, m1, jnp.minimum(m2, a1))
-                    m1 = jnp.minimum(m1, a1)
-                    sgb = jnp.logical_xor(sgb, t < 0.0)
+                    for j in range(P):
+                        is_new = a1[j] < m1[j]
+                        m2[j] = jnp.where(is_new, m1[j], jnp.minimum(m2[j], a1[j]))
+                        m1[j] = jnp.minimum(m1[j], a1[j])
+                        sgb[j] = jnp.logical_xor(sgb[j], t[j] < 0.0)
                 # pass 2: new u; posterior update va += perm_inv(u - u_old)
                 for a, perm in enumerate(row):
                     e = row_off[r] + a
                     c0 = perm.col * M
                     t = ts[a]
-                    mag = jnp.where(a1s[a] == m1, m2, m1)
-                    if alpha_c is not None:
-                        mag = alpha_c * mag
-                    neg = jnp.logical_xor(sgb, t < 0.0)
-                    u = jnp.where(neg, -mag, mag)
-                    du = u if first else u - us_ref[e].astype(f32)
+                    u = []
+                    for j in range(P):
+                        mag = jnp.where(a1s[a][j] == m1[j], m2[j], m1[j])
+                        if alpha_c is not None:
+                            mag = alpha_c * mag
+                        neg = jnp.logical_xor(sgb[j], t[j] < 0.0)
+                        u.append(jnp.where(neg, -mag, mag))
+                    if first:
+                        du = u
+                    else:
+                        du = [ui - uo for ui, uo in zip(u, eparts(us_ref, e))]
                     # the int posterior accumulator stays WIDE — only
                     # messages saturate (qc_minsum.py make_ms_decoder_layered
                     # docstring; bounded by (1+deg)*HI, exact in f32)
-                    va_ref[:, c0 : c0 + M] += inv_perm_s(du, perm).astype(dtype)
-                    us_ref[e] = u.astype(dtype)
-                    tps_ref[e] = t.astype(dtype)
+                    dv = inv_parts(du, perm)
+                    for j in range(P):
+                        va_ref[:, c0 + j * q : c0 + (j + 1) * q] += dv[j].astype(
+                            dtype
+                        )
+                    weparts(us_ref, e, u)
+                    weparts(tps_ref, e, t)
             # end-of-iteration syndrome over the FINAL posteriors (per-layer
             # parities taken mid-sweep are stale — qc_minsum.py layered).
             # Sign planes as i32 0/1 (rolls are bit-pattern moves; i32 skips
             # the sitofp) with i1-XOR parity accumulation; one f32 convert
-            # per row only for the lane reduction.
-            sign_blocks = [
-                (va_ref[:, c * M : (c + 1) * M].astype(f32) < 0.0).astype(i32)
+            # per part only for the lane reduction.
+            sign_parts = [
+                [
+                    (va_ref[:, c * M + j * q : c * M + (j + 1) * q].astype(f32)
+                     < 0.0).astype(i32)
+                    for j in range(P)
+                ]
                 for c in range(Cc)
             ]
             ok = jnp.ones((B, 1), f32)
             for r, row in enumerate(s.rows):
                 par = None
                 for perm in row:
-                    g = fwd_perm_s(sign_blocks[perm.col], perm)
-                    par = g if par is None else par ^ g
-                parf = par.astype(f32)  # exact 0/1
-                ok = ok * jnp.min(1.0 - parf, axis=1, keepdims=True)
+                    g = fwd_parts(sign_parts[perm.col], perm)
+                    par = g if par is None else [x ^ y for x, y in zip(par, g)]
+                for x in par:
+                    parf = x.astype(f32)  # exact 0/1
+                    ok = ok * jnp.min(1.0 - parf, axis=1, keepdims=True)
             # ---- freeze converged codewords at this iteration ----
             done = fdone_ref[...]
             newly = ok * (1.0 - done)
-            signs = jnp.concatenate(sign_blocks, axis=1)  # reuse syndrome planes
-            frozen_ref[...] = jnp.where(newly > 0.0, signs, frozen_ref[...])
+            for c in range(Cc):  # reuse the syndrome's sign planes
+                for j in range(P):
+                    sl = slice(c * M + j * q, c * M + (j + 1) * q)
+                    frozen_ref[:, sl] = jnp.where(
+                        newly > 0.0, sign_parts[c][j], frozen_ref[:, sl]
+                    )
             fiters_ref[...] = jnp.where(
                 newly > 0.0, jnp.full((B, 1), 1, jnp.int32) * it, fiters_ref[...]
             )

@@ -23,25 +23,12 @@ import jax.numpy as jnp
 from labrador_ldpc_tpu.codes.params import get_code
 from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
 
-PIPELINE = 8
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+from bench_suite import _sync, _timeit
 
-
-def _sync(out):
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
-        out,
-    )
-
-
-def timeit(fn, reps=4):
+def timeit(fn, reps=6):
     _sync(fn())
-    best = 1e30
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        outs = [fn() for _ in range(PIPELINE)]
-        _sync(outs)
-        best = min(best, (time.perf_counter() - t0) / PIPELINE)
-    return best
+    return _timeit(fn, reps)
 
 
 rng = np.random.default_rng(0)
