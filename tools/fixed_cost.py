@@ -1,13 +1,22 @@
-"""Scratch TPU probe: per-dispatch fixed cost breakdown for the TM8192
-headline kernel (pallas_layered f32, B=16384).
+"""Per-dispatch fixed-cost breakdown for the TM8192 headline kernel
+(pallas_layered f32, B=16384) — VERDICT r3 item 6's instrument.
 
 Method: pure-noise LLRs never converge, so decode time at maxiters=m is
   t(m) = fixed + m * per_iter        (iteration 0 is peeled; m >= 1)
 A least-squares fit over m in {1,2,4,8} separates the per-iteration loop
 cost from everything else: input LLR DMA (512 MB), output bits DMA
-(168 MB uint8), scratch init, the peeled iteration-0 shortcut, final
-sign/freeze epilogue, grid/pipeline stalls. All times pipelined (8 in
-flight, sync once) to cancel the ~30 ms tunnel round trip.
+(172 MB uint8), scratch init, final sign/freeze epilogue, and per-grid-
+step pipeline overhead. All timing uses the suite's pipelined honest-
+fetch protocol (benchmarks/bench_suite._timeit) to cancel the ~30 ms
+tunnel round trip.
+
+Round-4 result (recorded in STATUS.md): fixed = 3.10 ms/batch ~= 0.97
+iteration-equivalents (per_iter = 3.19 ms); DMA accounts for 0.86 ms,
+init/epilogue sweeps ~0.5 ms, the rest is per-grid-step overhead at
+bt=64 x 256 steps (larger tiles measured slower end-to-end, so the
+floor stands; in-kernel bit packing bounds at ~1.9% and was rejected).
+
+Usage: PYTHONPATH=. python tools/fixed_cost.py   (one TPU process only)
 """
 import os
 import sys

@@ -1,5 +1,12 @@
 """Quantified VPU roofline for the Pallas min-sum kernels.
 
+SUPERSEDED as the primary instrument by tools/mosaic_census.py (round 4),
+which counts the COMPILED Mosaic module's issue slots instead of this
+tool's zero-fusion JAX-level ops — the census confirmed this tool's count
+to within 0.5% but collapses the 77-127% utilization band to one number
+per kernel (STATUS.md roofline section). Kept for the measured
+calibration-kernel lower bounds (step 1), which the census cannot provide.
+
 Makes the "speed-of-light" claim falsifiable (STATUS.md roofline section):
 
   1. MEASURE a calibration Pallas kernel's sustained f32 element-op rate
