@@ -99,6 +99,18 @@ PIPELINE = 8
 PRODUCTION_IMPLS = {"pallas_qc", "pallas_layered"}
 STRICT_VIOLATIONS: list[str] = []
 
+# --filter substring; set once in main(). Benches whose FAMILY name (the
+# label up to any '[') does not contain it are SKIPPED AT RUN TIME (not
+# merely dropped from the JSONL), so a targeted re-measurement, e.g.
+# `--codes TM1280 --filter bf`, costs minutes instead of a full sweep.
+# Family matching keeps 'bf' from also selecting decode_ms[...,bfloat16];
+# use --impls to narrow the ms benches by impl/dtype.
+RUN_FILTER = ""
+
+
+def _want(label: str) -> bool:
+    return not RUN_FILTER or RUN_FILTER in label.split("[", 1)[0]
+
 
 def _skip(label, code_name, reason, impl=None):
     msg = f"{label} {code_name}: SKIP ({reason})"
@@ -137,11 +149,12 @@ def bench_all(codes, impls, base_batch, reps, results):
         data_j = jax.device_put(jnp.asarray(data))
 
         # --- encode (benches/encode.rs: b.bytes = k/8) ---------------------
-        enc = encoder.make_encoder(code)
+        enc = encoder.make_encoder(code)  # also the fixture for everything
         _sync(enc(data_j))
-        t = _timeit(lambda: enc(data_j), reps)
-        record("encode", name, batch / t, "cw/s")
-        record("encode_data_rate", name, batch * k_bytes / t / 1e6, "MB/s")
+        if _want("encode"):
+            t = _timeit(lambda: enc(data_j), reps)
+            record("encode", name, batch / t, "cw/s")
+            record("encode_data_rate", name, batch * k_bytes / t / 1e6, "MB/s")
 
         # --- corrupted codeword fixtures (3 bit flips, decode.rs:52) -------
         cw = np.array(enc(data_j))
@@ -149,34 +162,42 @@ def bench_all(codes, impls, base_batch, reps, results):
         cw_j = jax.device_put(jnp.asarray(cw))
 
         # --- decode_bf (benches/decode.rs:22-37) ---------------------------
-        bf = bitflip.make_bf_decoder_qc(code, maxiters=50)
+        want_bf_pallas = _want("decode_bf[pallas]")
         bits = unpack_bits(cw_j)
-        _sync(bf(bits))
-        t = _timeit(lambda: bf(bits), reps)
-        record("decode_bf", name, batch / t, "cw/s", maxiters=50)
+        if _want("decode_bf") or want_bf_pallas:
+            bf = bitflip.make_bf_decoder_qc(code, maxiters=50)
+            _sync(bf(bits))
+        if _want("decode_bf"):
+            t = _timeit(lambda: bf(bits), reps)
+            record("decode_bf", name, batch / t, "cw/s", maxiters=50)
 
-        # --- decode_bf, fused Pallas kernel (all 9 codes: TM lane-roll,
-        # TC transposed sublane-roll), asserted bit-exact vs the XLA QC
-        # path on-device before timing ----------------------------------
+        # --- decode_bf, fused Pallas kernel (all 9 codes in the
+        # measured-best layout: M <= 256 transposed node-major, M >= 512
+        # lane-roll), asserted bit-exact vs the XLA QC path on-device
+        # before timing --------------------------------------------------
         from labrador_ldpc_tpu.ops.pallas_bf import make_bf_decoder_pallas
 
-        try:
-            bfp = make_bf_decoder_pallas(code, maxiters=50)
-            res_p = bfp(bits)
-            _sync(res_p)
-            res_q = bf(bits)
-            bits_eq = np.array_equal(np.asarray(res_p.bits), np.asarray(res_q.bits))
-            iters_eq = np.array_equal(np.asarray(res_p.iterations),
-                                      np.asarray(res_q.iterations))
-        except Exception as e:  # noqa: BLE001 - report and continue
-            _skip("decode_bf[pallas]", name, f"{type(e).__name__}: {e}")
-        else:
-            if not (bits_eq and iters_eq):
-                _skip("decode_bf[pallas]", name,
-                      "failed the on-device bit-exactness assert vs the XLA QC path")
+        if want_bf_pallas:
+            try:
+                bfp = make_bf_decoder_pallas(code, maxiters=50)
+                res_p = bfp(bits)
+                _sync(res_p)
+                res_q = bf(bits)
+                bits_eq = np.array_equal(np.asarray(res_p.bits),
+                                         np.asarray(res_q.bits))
+                iters_eq = np.array_equal(np.asarray(res_p.iterations),
+                                          np.asarray(res_q.iterations))
+            except Exception as e:  # noqa: BLE001 - report and continue
+                _skip("decode_bf[pallas]", name, f"{type(e).__name__}: {e}")
             else:
-                t = _timeit(lambda: bfp(bits), reps)
-                record("decode_bf[pallas]", name, batch / t, "cw/s", maxiters=50)
+                if not (bits_eq and iters_eq):
+                    _skip("decode_bf[pallas]", name,
+                          "failed the on-device bit-exactness assert vs the "
+                          "XLA QC path")
+                else:
+                    t = _timeit(lambda: bfp(bits), reps)
+                    record("decode_bf[pallas]", name, batch / t, "cw/s",
+                           maxiters=50)
 
         # --- steady-state bf per-iteration rate ----------------------------
         # uniform-random bits (almost) never satisfy all checks, so the
@@ -191,6 +212,8 @@ def bench_all(codes, impls, base_batch, reps, results):
             ("bf_iter[pallas]",
              lambda: make_bf_decoder_pallas(code, bf_iters)),
         ):
+            if not _want(label):
+                continue
             try:
                 dec = mk()
                 res = dec(rand_bits)
@@ -208,6 +231,8 @@ def bench_all(codes, impls, base_batch, reps, results):
 
         # --- decode_ms variants (benches/decode.rs:39-71) ------------------
         for impl, dtype_name in impls:
+            if not _want(f"decode_ms[{impl},{dtype_name}]"):
+                continue
             dtype = jnp.dtype(dtype_name)
             llrs = jax.device_put(hard_to_llrs(cw_j, dtype))
             try:
@@ -240,6 +265,8 @@ def bench_all(codes, impls, base_batch, reps, results):
         for impl, dtype_name in impls:
             if dtype_name not in ("float32", "bfloat16"):
                 continue
+            if not _want(f"ms_iter[{impl},{dtype_name}]"):
+                continue
             dtype = jnp.dtype(dtype_name)
             noise_d = noise.astype(dtype)
             try:
@@ -261,11 +288,12 @@ def bench_all(codes, impls, base_batch, reps, results):
                    maxiters=ss_iters, impl=impl, dtype=dtype_name)
 
         # --- table build (iter_paritychecks.rs analog) ---------------------
-        decoder_tables.cache_clear()
-        t0 = time.perf_counter()
-        tabs = decoder_tables(code)
-        t = time.perf_counter() - t0
-        record("table_build_edges_per_s", name, tabs.n_edges / t, "edges/s")
+        if _want("table_build_edges_per_s"):
+            decoder_tables.cache_clear()
+            t0 = time.perf_counter()
+            tabs = decoder_tables(code)
+            t = time.perf_counter() - t0
+            record("table_build_edges_per_s", name, tabs.n_edges / t, "edges/s")
 
     return results
 
@@ -345,22 +373,25 @@ def bench_capi(codes, reps, results):
         code = get_code(name)
         data = rng.integers(0, 256, code.k // 8, dtype=np.uint8)
         cw = capi.copy_encode(code, data)
-        t = _timeit(lambda: capi.copy_encode(code, data), reps * 20)
-        row = dict(bench="capi_encode", code=name, value=round(1 / t, 1),
-                   unit="cw/s", device="cpu-scalar")
-        results.append(row)
-        print(f"{'capi_encode':28} {name:8} {1 / t:>14,.1f} cw/s")
+        if _want("capi_encode"):
+            t = _timeit(lambda: capi.copy_encode(code, data), reps * 20)
+            row = dict(bench="capi_encode", code=name, value=round(1 / t, 1),
+                       unit="cw/s", device="cpu-scalar")
+            results.append(row)
+            print(f"{'capi_encode':28} {name:8} {1 / t:>14,.1f} cw/s")
 
-        rx = cw.copy()
-        rx[0] ^= (1 << 7) | (1 << 5) | (1 << 3)
-        llrs = capi.hard_to_llrs(code, rx, np.float32)
-        ok, _, _ = capi.decode_ms(code, llrs, maxiters=50)
-        assert ok
-        t = _timeit(lambda: capi.decode_ms(code, llrs, maxiters=50), reps)
-        row = dict(bench="capi_decode_ms_f32", code=name, value=round(1 / t, 1),
-                   unit="cw/s", device="cpu-scalar", maxiters=50)
-        results.append(row)
-        print(f"{'capi_decode_ms_f32':28} {name:8} {1 / t:>14,.1f} cw/s")
+        if _want("capi_decode_ms_f32"):
+            rx = cw.copy()
+            rx[0] ^= (1 << 7) | (1 << 5) | (1 << 3)
+            llrs = capi.hard_to_llrs(code, rx, np.float32)
+            ok, _, _ = capi.decode_ms(code, llrs, maxiters=50)
+            assert ok
+            t = _timeit(lambda: capi.decode_ms(code, llrs, maxiters=50), reps)
+            row = dict(bench="capi_decode_ms_f32", code=name,
+                       value=round(1 / t, 1), unit="cw/s",
+                       device="cpu-scalar", maxiters=50)
+            results.append(row)
+            print(f"{'capi_decode_ms_f32':28} {name:8} {1 / t:>14,.1f} cw/s")
 
 
 def main() -> int:
@@ -369,7 +400,11 @@ def main() -> int:
     ap.add_argument("--codes", default=None, help="comma-separated code list")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--filter", default="", help="only benches containing this substring")
+    ap.add_argument("--filter", default="",
+                    help="only RUN (and record) benches whose family name "
+                         "(label up to '[') contains this substring, e.g. "
+                         "'bf' or 'ms_iter'; combine with --impls to narrow "
+                         "the ms benches")
     ap.add_argument("--impls", default=None,
                     help="comma-separated impl:dtype pairs (e.g. 'pallas_qc:int8')")
     ap.add_argument("--no-capi", action="store_true")
@@ -386,6 +421,8 @@ def main() -> int:
                          "(nonzero parity fails the run under --strict)")
     ap.add_argument("--out", default=str(Path(__file__).parent / "results.jsonl"))
     args = ap.parse_args()
+    global RUN_FILTER
+    RUN_FILTER = args.filter
 
     parity_rc = None
     if args.parity_first:
@@ -435,7 +472,7 @@ def main() -> int:
         def append(self, r):  # noqa: A003 - list interface
             super().append(r)
             nonlocal written
-            if args.filter and args.filter not in r["bench"]:
+            if not _want(r["bench"]) and r["bench"] != "tpu_parity_quick":
                 return
             out_f.write(json.dumps({**stamp, **r}) + "\n")
             out_f.flush()
@@ -450,7 +487,8 @@ def main() -> int:
             bench_two_stage(results)
             return 0
         bench_all(codes, impls, args.batch, args.reps, results)
-        if not args.no_capi:
+        if not args.no_capi and (_want("capi_encode")
+                                 or _want("capi_decode_ms_f32")):
             bench_capi(codes, args.reps, results)
     finally:
         out_f.close()

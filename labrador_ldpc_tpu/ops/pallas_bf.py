@@ -23,10 +23,12 @@ costs one roll+add sweep for parity plus one for the vote scatter — the
 same shape as a bit-flip iteration. (A first cut ran the XLA gather-based
 erasure pass outside the kernel; it dominated end-to-end time, 157k cw/s
 vs this version's measured rate.) This file lowers the lane-tile-multiple
-submatrix sizes directly (M % 128 == 0 — all six TM codes); for the TC
-codes (M <= 64) the factory dispatches to the transposed node-major
-kernel in ops/pallas_tc.py, so `make_bf_decoder_pallas` covers all 9
-codes like the min-sum factories.
+submatrix sizes directly (M % 128 == 0); production dispatch sends
+M <= 256 (the TC codes plus TM1280/TM1536) to the transposed node-major
+kernel in ops/pallas_tc.py (`bf_node_major` — sublane rolls, quartered pi
+parts, trace-time-gated erasure votes), so `make_bf_decoder_pallas`
+covers all 9 codes like the min-sum factories; the M >= 512 TM codes
+lower here.
 """
 
 from __future__ import annotations
@@ -91,9 +93,13 @@ def make_bf_decoder_pallas(
     p = code.params
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
-    if M < 128:
-        # TC codes: transposed node-major kernel (sublane rolls) — see
-        # ops/pallas_tc.py. Same dispatch pattern as the min-sum factories.
+    from .pallas_tc import bf_node_major
+
+    if bf_node_major(M):
+        # M <= 256: transposed node-major kernel (sublane rolls; quartered
+        # pi parts + trace-time-gated erasure pass for TM1280/TM1536) —
+        # see ops/pallas_tc.py. Same dispatch pattern as the min-sum
+        # factories; boundary measured in bf_node_major's docstring.
         from .pallas_tc import make_bf_decoder_pallas_tc
 
         return make_bf_decoder_pallas_tc(

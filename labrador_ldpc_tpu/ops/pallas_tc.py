@@ -76,6 +76,7 @@ __all__ = [
     "make_ms_decoder_pallas_tc_layered",
     "make_bf_decoder_pallas_tc",
     "ms_node_major",
+    "bf_node_major",
 ]
 
 
@@ -110,8 +111,25 @@ def _default_batch_tile_tc(M: int) -> int:
 def _bf_batch_tile_tc(M: int) -> int:
     """Measured bf tile defaults (v5e, maxiters=50, 3-bit-flip protocol,
     B=32768 pipelined): TC128 bt=1024 6.6M cw/s (vs XLA qc 4.4M),
-    TC256 bt=512 8.5M (XLA 3.4M), TC512 bt=1024 7.4M (XLA 1.1M)."""
+    TC256 bt=512 8.5M (XLA 3.4M), TC512 bt=1024 7.4M (XLA 1.1M);
+    TM1280/TM1536 (quartered node-major) bt=256 — 6.60M / 6.35M cw/s
+    (512: 6.43/6.14, 1024: 6.07/5.45)."""
+    if M >= 128:
+        return 256
     return 512 if M == 32 else 1024
+
+
+def bf_node_major(M: int) -> bool:
+    """Production bit-flip dispatch boundary (single source of truth for
+    the pallas_bf factory and sizes.py): M <= 256 decodes node-major here
+    — TC sublane rolls plus the quartered pi parts for TM1280/TM1536 with
+    the erasure voting pass fused part-wise (suite protocol, B=32768:
+    TM1280 6.99M vs 2.29M cw/s lane-major, TM1536 6.26M vs 3.45M; steady
+    state 75.7M vs 11.2M and 59.5M vs 19.6M cw·iter/s) — while M >= 512
+    stays on the lane-major pallas_bf kernels (same layout argument as
+    `ms_node_major`: tall (q, B) parts lose to the wide lane layout at
+    large M)."""
+    return M <= 256
 
 
 def _part_layout(s):
@@ -735,21 +753,33 @@ def make_bf_decoder_pallas_tc(
     batch_tile: int | None = None,
     interpret: bool = False,
 ):
-    """VMEM-resident Gallager bit-flip decoder for the M < 128 (TC) codes.
+    """VMEM-resident Gallager bit-flip decoder, node-major (M <= 256).
 
     Same flip-all-at-max algorithm as the reference `decode_bf`
     (decoder.rs:243-301) in the QC roll formulation of
     `ops.bitflip.make_bf_decoder_qc`, and bit-exact against it (integer
     counts carried in f32 lanes are exact; the flip rule is deterministic).
-    The TM analog is `ops.pallas_bf.make_bf_decoder_pallas`; this is its
-    transposed (node-major) small-M twin: bits live as (V, B) planes with
-    nodes on sublanes and the batch on the 128-wide lanes, so every block
-    permutation is a static SUBLANE roll — the same layout argument as the
-    min-sum kernels above. The TC codes are unpunctured (no HP cells, no
-    erasure preprocessor), so the kernel is just the iteration loop: per
-    block row one roll+add sweep for parity and one for the violation
-    scatter, with the whole per-tile state (2 (V, B) f32 planes) resident
-    in VMEM across the early-exiting `while_loop`.
+    The large-M analog is `ops.pallas_bf.make_bf_decoder_pallas`; this is
+    its transposed (node-major) small-M twin: bits live as (V, B) planes
+    with nodes on sublanes and the batch on the 128-wide lanes, carried as
+    parts (`_part_layout`) exactly like the min-sum kernels above — TC
+    block permutations are static sublane rolls of whole planes; the
+    punctured TM codes (TM1280/TM1536) split each plane into four
+    quarter parts closed under every pi permutation. Per block row the
+    iteration loop costs one roll+add sweep for parity and one for the
+    violation scatter, with the whole per-tile state (2 (V, B) f32
+    planes) resident in VMEM across the early-exiting `while_loop`.
+
+    Punctured codes run the erasure preprocessor (decode_erasures_bits'
+    single voting pass, decoder.rs:144-223) inside the kernel, and the
+    node-major layout makes it nearly free: the erased set is exactly the
+    final block column (punctured_bits == M for every TM code), so each
+    check row's erased-neighbor count is the COMPILE-TIME number of its
+    edges into that block — rows where it differs from 1 contribute no
+    votes and are skipped entirely at trace time; voting rows pay one
+    parity sweep plus a single part-wise scatter into the erased block
+    (the lane-major kernel instead carries runtime erased masks and
+    scatters votes to every block).
 
     Returns fn(hard_bits: (B, n) any int dtype) -> BFResult.
     """
@@ -759,43 +789,82 @@ def make_bf_decoder_pallas_tc(
     p = code.params
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
-    if M >= 128:
+    if not bf_node_major(M):
         raise ValueError(
-            f"pallas tc bf decoder is the small-M path (M < 128); "
+            f"pallas tc bf decoder is the small-M path (M <= 256); "
             f"{code.name} has M={M} — use make_bf_decoder_pallas"
         )
     if any(perm.kind != "rot" for row in s.rows for perm in row):
-        raise ValueError("pallas tc bf decoder requires pure-rotation prototypes")
-    assert p.punctured_bits == 0, "TC codes are unpunctured"
+        # quartered pi parts need tile-aligned quarters and unshifted
+        # identity blocks — true for all six TM codes (see _check_code)
+        if (s.m // 4) % 8 or any(
+            perm.kind == "rot" and perm.shift
+            for row in s.rows
+            for perm in row
+        ):
+            raise ValueError(
+                "pallas tc bf decoder requires pure-rotation prototypes or "
+                f"quarterable pi prototypes; {code.name} has M={M}"
+            )
     n, V = p.n, Cc * M
-    assert V == n
+    if p.punctured_bits:
+        # the fused erasure pass assumes the erased set is exactly the
+        # final block column (true for every punctured CCSDS TM code)
+        assert p.punctured_bits == M and n == (Cc - 1) * M, code.name
     B = _resolve_batch_tile(batch_tile, M, interpret,
                             default=_bf_batch_tile_tc(M))
     f32 = jnp.float32
-    # pure-rot TC prototypes: P == 1, planes stay whole (single-part view
-    # of _part_fns; the min-sum kernels above use the full part lists)
-    _P, _q, _fwdp, _invp = _part_fns(s)
-    assert _P == 1
-
-    def fwd(x, perm):
-        return _fwdp([x], perm)[0]
-
-    def inv(x, perm):
-        return _invp([x], perm)[0]
+    P, q, fwd, inv = _part_fns(s)
 
     def kernel(
-        in_ref,  # (V, B) f32 hard bits 0/1
+        in_ref,  # (V, B) f32 hard bits 0/1 (punctured tail zeroed)
         bits_ref,  # out: (V, B) uint8
         done_ref,  # out: (1, B) f32
         iters_ref,  # out: (1, B) i32
         b_ref,  # scratch: (V, B) f32 working bits
-        viol_ref,  # scratch: (V, B) f32 violation counts
+        viol_ref,  # scratch: (V, B) f32 violation counts / erasure votes
         fdone_ref,  # scratch: (1, B) f32
         fiters_ref,  # scratch: (1, B) i32
     ):
+        # every (M, B) block plane is carried as P parts of q sublanes
+        def rblk(ref, c):
+            return [ref[c * M + j * q : c * M + (j + 1) * q, :] for j in range(P)]
+
+        def row_parity(r):
+            """Mod-2 parity parts of block row r over the working bits."""
+            par = None
+            for perm in s.rows[r]:
+                g = fwd(rblk(b_ref, perm.col), perm)
+                par = g if par is None else [x + y for x, y in zip(par, g)]
+            return [x - 2.0 * jnp.floor(x * 0.5) for x in par]
+
         fdone_ref[...] = jnp.zeros((1, B), f32)
         fiters_ref[...] = jnp.full((1, B), maxiters, jnp.int32)
         b_ref[...] = in_ref[...]
+
+        if p.punctured_bits > 0:
+            # one erasure voting pass (decode_erasures_bits semantics,
+            # decoder.rs:172-218): the punctured tail is zero so the
+            # parity over non-erased bits is the parity of the planes;
+            # checks with exactly one erased neighbor (a trace-time count
+            # here — see the factory docstring) vote +1 on parity 1 / -1
+            # on parity 0, and erased vars with positive totals become 1.
+            c_e = Cc - 1
+            viol_ref[...] = jnp.zeros((V, B), f32)
+            for r in range(R):
+                e_perms = [perm for perm in s.rows[r] if perm.col == c_e]
+                if len(e_perms) != 1:
+                    continue  # ecount != 1: no votes from this row
+                vote = [2.0 * x - 1.0 for x in row_parity(r)]
+                dv = inv(vote, e_perms[0])
+                for j in range(P):
+                    sl = slice(c_e * M + j * q, c_e * M + (j + 1) * q)
+                    viol_ref[sl, :] += dv[j]
+            for j in range(P):
+                sl = slice(c_e * M + j * q, c_e * M + (j + 1) * q)
+                b_ref[sl, :] = jnp.where(
+                    viol_ref[sl, :] > 0.0, 1.0, b_ref[sl, :]
+                )
 
         def one_iteration(it):
             # check parities per block row: f32 adds of rolled bit planes,
@@ -803,15 +872,12 @@ def make_bf_decoder_pallas_tc(
             # variables as violation counts (decoder.rs:263-287)
             viol_ref[...] = jnp.zeros((V, B), f32)
             for r in range(R):
-                par = None
+                par = row_parity(r)
                 for perm in s.rows[r]:
                     c0 = perm.col * M
-                    g = fwd(b_ref[c0 : c0 + M, :], perm)
-                    par = g if par is None else par + g
-                par = par - 2.0 * jnp.floor(par * 0.5)  # mod 2
-                for perm in s.rows[r]:
-                    c0 = perm.col * M
-                    viol_ref[c0 : c0 + M, :] += inv(par, perm)
+                    dv = inv(par, perm)
+                    for j in range(P):
+                        viol_ref[c0 + j * q : c0 + (j + 1) * q, :] += dv[j]
             # per-codeword max violation over all V variables (sublanes)
             mx = jnp.max(viol_ref[...], axis=0, keepdims=True)  # (1, B)
             ok = jnp.where(mx == 0.0, 1.0, 0.0)
@@ -881,6 +947,13 @@ def make_bf_decoder_pallas_tc(
         )
         batch = hard_bits.shape[0]
         planes = jnp.asarray(hard_bits, f32).T
+        if V > n:
+            # punctured tail zeroed; the erasure repair happens in-kernel
+            # and its accounting contributes 0 to `iterations` (the
+            # reference quirk — decoder.rs:205-218, ops/bitflip.py)
+            planes = jnp.concatenate(
+                [planes, jnp.zeros((V - n, batch), f32)], axis=0
+            )
         pad = (-batch) % B
         if pad:
             # all-zero pad codewords satisfy every check and exit immediately

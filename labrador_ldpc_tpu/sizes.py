@@ -178,11 +178,12 @@ def decoder_memory(
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     n, V = p.n, Cc * M
     sumA = sum(len(r) for r in s.rows)
-    # the min-sum production boundary lives in pallas_tc.ms_node_major
-    # (M <= 256: TC + quartered TM1280/TM1536); the bf kernels stay
-    # node-major only for the unpunctured TC codes (M < 128)
+    # the production boundaries live in pallas_tc.ms_node_major /
+    # bf_node_major (both M <= 256: TC + quartered TM1280/TM1536)
     if impl == "pallas_bf":
-        node_major = M < 128
+        from .ops.pallas_tc import bf_node_major
+
+        node_major = bf_node_major(M)
     else:
         from .ops.pallas_tc import ms_node_major
 
