@@ -159,10 +159,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--code", default="TM8192")
     ap.add_argument("--impl", default="pallas_layered",
-                    choices=["pallas_layered", "pallas_qc"])
+                    choices=["pallas_layered", "pallas_qc", "pallas_bf"])
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--rate", type=float, default=None,
-                    help="measured cw*iter/s (ms_iter row) for utilization")
+                    help="measured cw*iter/s (ms_iter / bf_iter row) for "
+                         "utilization")
     ap.add_argument("--dump", default=None, help="save the Mosaic text here")
     args = ap.parse_args()
 
@@ -174,23 +175,53 @@ def main():
         make_ms_decoder_pallas_layered,
         make_ms_decoder_pallas_qc,
     )
+    from labrador_ldpc_tpu.ops.pallas_tc import (
+        _bf_batch_tile_tc,
+        _default_batch_tile_tc,
+        bf_node_major,
+        ms_node_major,
+    )
     from labrador_ldpc_tpu.codes.expand import qc_structure
 
     code = get_code(args.code)
     s = qc_structure(code)
     sumA = sum(len(r) for r in s.rows)
-    B = _default_batch_tile(s.m, sumA) if s.m >= 128 else 512
-    factory = (
-        make_ms_decoder_pallas_layered
-        if args.impl == "pallas_layered"
-        else make_ms_decoder_pallas_qc
-    )
-    dtype = jnp.dtype(args.dtype)
-    llrs = jnp.ones((B, code.n), jnp.float32 if dtype.name.startswith("int") else dtype)
+    # B must be the PRODUCTION kernel's own batch tile: the decode wrapper
+    # pads the input to a tile multiple, so the while body always operates
+    # on whole tiles — normalizing by anything else mis-states per-cw
+    # counts. (Round-4 regression: using the lane-major default for the
+    # node-major TM1280 kernel, whose tile is 2x larger, overstated its
+    # slots/cw by 2x and with it the "~95% of issue peak" claim; the
+    # corrected figure is in STATUS.md.)
+    if args.impl == "pallas_bf":
+        from labrador_ldpc_tpu.ops.pallas_bf import (
+            _bf_batch_tile,
+            make_bf_decoder_pallas,
+        )
 
-    text = extract_mosaic_modules(
-        lambda: factory(code, dtype, maxiters=50), llrs
-    )
+        B = _bf_batch_tile_tc(s.m) if bf_node_major(s.m) else _bf_batch_tile(s.m)
+        example = jnp.zeros((B, code.n), jnp.uint8)
+        text = extract_mosaic_modules(
+            lambda: make_bf_decoder_pallas(code, maxiters=50), example
+        )
+    else:
+        B = (
+            _default_batch_tile_tc(s.m)
+            if ms_node_major(s.m)
+            else _default_batch_tile(s.m, sumA)
+        )
+        factory = (
+            make_ms_decoder_pallas_layered
+            if args.impl == "pallas_layered"
+            else make_ms_decoder_pallas_qc
+        )
+        dtype = jnp.dtype(args.dtype)
+        llrs = jnp.ones(
+            (B, code.n), jnp.float32 if dtype.name.startswith("int") else dtype
+        )
+        text = extract_mosaic_modules(
+            lambda: factory(code, dtype, maxiters=50), llrs
+        )
     if args.dump:
         Path(args.dump).write_text(text)
     body = while_body(text)
