@@ -55,7 +55,7 @@ from labrador_ldpc_tpu.codes.expand import qc_structure
 from labrador_ldpc_tpu.codes.params import get_code
 
 
-def _bench(fn, x, rep=20):
+def _bench(fn, x, rep=3):
     np.asarray(fn(x))  # compile + settle
     t0 = time.perf_counter()
     for _ in range(rep):
@@ -64,7 +64,40 @@ def _bench(fn, x, rep=20):
     return (time.perf_counter() - t0) / rep
 
 
-def measure_vpu_peak(M=2048, K=500, chains=8, B=None):
+def _measure_loop(make_kernel, B, M, elems_per_step):
+    """Two-stage auto-K timing: run a 200k-step probe to estimate the
+    per-step cost, then rebuild with K sized for ~0.5 s of kernel time so
+    the ~30-45 ms tunnel round trip is noise. (The round-4 audit found the
+    original fixed K=500 made every calibration dispatch-dominated — the
+    'measured' rates were the tunnel, understating the true sustained
+    rates ~5x. Rates below are kernel-time-dominated.) Returns
+    element-units/s."""
+
+    def build(K):
+        x = jnp.ones((B, M), jnp.float32)
+        return jax.jit(
+            pl.pallas_call(
+                make_kernel(K),
+                out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )
+        ), x
+
+    K1 = 200_000
+    fn, x = build(K1)
+    dt1 = _bench(fn, x, rep=1)
+    per_step = max((dt1 - 0.035) / K1, 1e-10)  # subtract ~one round trip
+    K2 = min(max(K1, int(0.5 / per_step)), 400_000_000)
+    if K2 > K1 * 2:
+        fn, x = build(K2)
+        dt = _bench(fn, x)
+    else:
+        K2, dt = K1, dt1
+    return elems_per_step * K2 / dt
+
+
+def measure_vpu_peak(M=2048, chains=8, B=None):
     """Sustained f32 elementwise rate (element-ops/s) with the decoder's op
     mix and `chains` independent dependency chains (ILP), state
     VMEM-resident. Each chain is latency-bound by construction, so the
@@ -76,71 +109,75 @@ def measure_vpu_peak(M=2048, K=500, chains=8, B=None):
         B = max(8, 256 // chains)
     OPS = 13 * chains  # ops per K-step per element (counted in `body`)
 
-    def kernel(x_ref, o_ref):
-        def body(i, accs):
-            outs = []
-            for a0 in accs:  # 13 element-ops per chain per step
-                a = a0 * 1.0001 + 0.5          # 2 (mul, add; may fuse)
-                b = jnp.abs(a) - 0.25          # 2
-                c = jnp.minimum(a, b)          # 1
-                d = jnp.where(b < a, c + 1.0, c - 1.0)  # 4 (cmp, +, -, sel)
-                e = jnp.maximum(d, -d)         # 2
-                outs.append(d + e * 0.5)       # 2
-            return tuple(outs)
+    def make_kernel(K):
+        def kernel(x_ref, o_ref):
+            def body(i, accs):
+                outs = []
+                for a0 in accs:  # 13 element-ops per chain per step
+                    a = a0 * 1.0001 + 0.5          # 2 (mul, add; may fuse)
+                    b = jnp.abs(a) - 0.25          # 2
+                    c = jnp.minimum(a, b)          # 1
+                    d = jnp.where(b < a, c + 1.0, c - 1.0)  # 4 (cmp, +, -, sel)
+                    e = jnp.maximum(d, -d)         # 2
+                    outs.append(d + e * 0.5)       # 2
+                return tuple(outs)
 
-        init = tuple(x_ref[:] + float(i) for i in range(chains))
-        res = jax.lax.fori_loop(0, K, body, init)
-        acc = res[0]
-        for r in res[1:]:
-            acc = acc + r
-        o_ref[:] = acc
+            init = tuple(x_ref[:] + float(i) for i in range(chains))
+            res = jax.lax.fori_loop(0, K, body, init)
+            acc = res[0]
+            for r in res[1:]:
+                acc = acc + r
+            o_ref[:] = acc
 
-    x = jnp.ones((B, M), jnp.float32)
-    fn = jax.jit(
-        pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )
-    )
-    dt = _bench(fn, x)
-    rate = B * M * K * OPS / dt
+        return kernel
+
+    rate = _measure_loop(make_kernel, B, M, B * M * OPS)
     print(f"vpu calibration-mix rate ({B},{M}, ilp{chains}): "
-          f"{rate/1e12:.2f} Tops/s f32")
+          f"{rate/1e12:.2f} T element-ops/s f32")
     return rate
 
 
-def measure_roll_peak(M=2048, K=500, chains=8, B=None):
-    """Sustained full-width lane-roll rate (element-moves/s); same
+def _roll_kernel(chains, axis):
+    def make_kernel(K):
+        def kernel(x_ref, o_ref):
+            def body(i, accs):
+                return tuple(
+                    pltpu.roll(a, 3 + j, axis=axis) for j, a in enumerate(accs)
+                )
+
+            init = tuple(x_ref[:] + float(i) for i in range(chains))
+            res = jax.lax.fori_loop(0, K, body, init)
+            acc = res[0]
+            for r in res[1:]:
+                acc = acc + r
+            o_ref[:] = acc
+
+        return kernel
+
+    return make_kernel
+
+
+def measure_roll_peak(M=2048, chains=8, B=None):
+    """Sustained full-width LANE-roll rate (element-moves/s); same
     ILP-sweep rationale as measure_vpu_peak."""
     if B is None:
         B = max(8, 512 // chains)
-
-    def kernel(x_ref, o_ref):
-        def body(i, accs):
-            return tuple(pltpu.roll(a, 7 + j, axis=1) for j, a in enumerate(accs))
-
-        init = tuple(x_ref[:] + float(i) for i in range(chains))
-        res = jax.lax.fori_loop(0, K, body, init)
-        acc = res[0]
-        for r in res[1:]:
-            acc = acc + r
-        o_ref[:] = acc
-
-    x = jnp.ones((B, M), jnp.float32)
-    fn = jax.jit(
-        pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )
-    )
-    dt = _bench(fn, x)
-    rate = B * M * K * chains / dt
+    rate = _measure_loop(_roll_kernel(chains, axis=1), B, M, B * M * chains)
     print(f"lane-roll rate ({B},{M}, ilp{chains}): "
           f"{rate/1e12:.2f} T element-moves/s f32")
+    return rate
+
+
+def measure_subroll_peak(S=32, L=256, chains=4):
+    """Sustained SUBLANE-roll rate on the node-major parts shape (the
+    (q, B) quarter planes of ops/pallas_tc.py). Comparing this against
+    measure_vpu_peak on the same shape prices a sublane roll in ALU-slot
+    equivalents — round-4 measurement: ~3-4 ALU vreg-slots per rolled
+    vreg, which is why the census (1 slot/vreg for rotates) understates
+    the node-major kernels' true port pressure (STATUS.md roofline)."""
+    rate = _measure_loop(_roll_kernel(chains, axis=0), S, L, S * L * chains)
+    print(f"sublane-roll rate ({S},{L}, ilp{chains}): "
+          f"{rate/1e12:.3f} T element-moves/s f32")
     return rate
 
 
@@ -250,28 +287,31 @@ def main():
     if args.skip_measure:
         return
     # ILP sweep: each calibration chain is latency-bound, so take the max
-    # over chain counts. Empirically even the best chain config sustains
-    # well below the decoder's effective rate — the calibration is a LOWER
-    # bound on the issue peak (dependent chains can't fill the pipe), so
-    # the meaningful comparison is against the THEORETICAL lane-issue peak.
+    # over chain counts. With the auto-K timing fix the best chains reach
+    # ~80-85% of the 1.50 GHz 6.1 T element-op model peak — a STRONG
+    # measured lower bound on what the VPU sustains for this op mix.
     vpu = max(measure_vpu_peak(chains=ch) for ch in (4, 8, 16))
+    # the node-major parts shape sustains comparable rates: the tall
+    # (q, B) planes are NOT intrinsically issue-limited
+    vpu_parts = max(measure_vpu_peak(M=256, B=32, chains=ch) for ch in (4, 8))
     roll = max(measure_roll_peak(chains=ch) for ch in (4, 8, 16))
+    subroll = max(measure_subroll_peak(chains=ch) for ch in (4, 8))
     rate = measure_ms_iter(code, batch=args.batch)
     eff = c["element_ops"] * rate
-    print(
-        f"effective element-op rate: {eff/1e12:.2f} Tops/s "
-        f"(zero-fusion counted ops x measured decode rate; "
-        f"{eff/vpu:.1f}x the best calibration chain)"
-    )
     # v5e VPU: 8x128 lanes x 4 ALUs; public clock estimates span
-    # 0.94-1.56 GHz => 3.9-6.4 T f32 ops/s lane-issue peak
+    # 0.94-1.56 GHz => 3.9-6.4 T f32 element-ops/s lane-issue peak
     lo, hi = 1024 * 4 * 0.94e9, 1024 * 4 * 1.56e9
     print(
-        f"utilization vs theoretical VPU issue peak (zero-fusion count): "
-        f"{100*eff/hi:.0f}-{100*eff/lo:.0f}% of {lo/1e12:.1f}-{hi/1e12:.1f} "
-        f"Tops/s — the steady-state loop is issue-saturated; remaining "
-        f"levers are fixed dispatch/DMA costs and iteration count, not "
-        f"loop efficiency"
+        f"effective element-op rate: {eff/1e12:.2f} Tops/s "
+        f"(zero-fusion counted ops x measured decode rate) = "
+        f"{100*eff/hi:.0f}-{100*eff/lo:.0f}% of the "
+        f"{lo/1e12:.1f}-{hi/1e12:.1f} T theoretical peak; best calibration "
+        f"chains: mix {vpu/1e12:.2f} T (parts shape {vpu_parts/1e12:.2f} T), "
+        f"lane roll {roll/1e12:.2f} T, sublane roll {subroll/1e12:.2f} T "
+        f"element-moves/s. Interpretation (see STATUS.md roofline): the "
+        f"compiled census is the primary instrument; these calibrations "
+        f"price the op classes (a sublane roll costs "
+        f"{vpu_parts/max(subroll,1.0):.1f}x an ALU slot on the parts shape)."
     )
 
 
