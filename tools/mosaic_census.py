@@ -70,7 +70,10 @@ MOVE_OPS = {
     "vector.broadcast", "vector.extract", "vector.insert",
     "vector.insert_strided_slice", "tpu.repeat",
 }
-MEM_OPS = {"vector.load", "vector.store", "tpu.load", "tpu.store"}
+MEM_OPS = {
+    "vector.load", "vector.store", "tpu.load", "tpu.store",
+    "tpu.vector_store", "tpu.strided_load", "tpu.strided_store",
+}
 REDUCE_OPS = {"vector.multi_reduction", "tpu.all_reduce"}
 
 _OP_RE = re.compile(r'(?:=\s+)?"?((?:arith|math|vector|tpu|scf)\.[a-z_0-9]+)"?\b')
