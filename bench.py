@@ -92,19 +92,37 @@ def main():
         return best
 
     K = int(os.environ.get("BENCH_PIPELINE", "32"))  # max dispatches per timing
-    ks = sorted({max(1, K // 4), K // 2, max(1, 3 * K // 4), K})
+    ks = sorted({max(1, K * i // 4) for i in (1, 2, 3, 4)})
     ts = [timed(k) for k in ks]
     # least-squares slope of time vs dispatch count cancels the constant
     # tunnel round trip; 4 points instead of 2 averages out per-point jitter
     ka = np.asarray(ks, np.float64)
     ta = np.asarray(ts, np.float64)
-    sec_per_dispatch = float(
-        ((ka - ka.mean()) * (ta - ta.mean())).sum() / ((ka - ka.mean()) ** 2).sum()
-    )
+    denom = ((ka - ka.mean()) ** 2).sum()
+    sec_per_dispatch = float(((ka - ka.mean()) * (ta - ta.mean())).sum() / max(denom, 1e-12))
     cw_per_s = B / max(sec_per_dispatch, 1e-9)
     # guard against a degenerate fit (noisy small-k points): never report
     # more than 1.5x the amortized K-point rate
     cw_per_s = min(cw_per_s, 1.5 * K * B / ts[-1])
+    # Fit diagnostics on STDERR (stdout invariant: exactly one JSON line).
+    # Lets round-over-round drift be attributed to fit noise vs real change:
+    # raw (k, t) points, residuals vs the fit, and R^2.
+    fit = sec_per_dispatch * ka + (ta.mean() - sec_per_dispatch * ka.mean())
+    resid = ta - fit
+    ss_tot = float(((ta - ta.mean()) ** 2).sum())
+    r2 = 1.0 - float((resid**2).sum()) / max(ss_tot, 1e-30)
+    print(
+        json.dumps(
+            {
+                "fit_points": [[int(k), round(t, 6)] for k, t in zip(ks, ts)],
+                "residuals_s": [round(float(r), 6) for r in resid],
+                "r_squared": round(r2, 6),
+                "sec_per_dispatch": round(sec_per_dispatch, 6),
+                "amortized_rate_cw_s": round(K * B / ts[-1], 1),
+            }
+        ),
+        file=sys.stderr,
+    )
 
     baseline_file = Path(__file__).parent / "BENCH_BASELINE.json"
     vs = 1.0

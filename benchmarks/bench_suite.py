@@ -109,7 +109,14 @@ RUN_FILTER = ""
 
 
 def _want(label: str) -> bool:
-    return not RUN_FILTER or RUN_FILTER in label.split("[", 1)[0]
+    # Match the family name (label up to '[') OR the full label, so a
+    # filter value containing '[' (e.g. 'decode_bf[pallas]') still selects
+    # benches instead of silently matching nothing (ADVICE r4).
+    return (
+        not RUN_FILTER
+        or RUN_FILTER in label.split("[", 1)[0]
+        or RUN_FILTER in label
+    )
 
 
 def _skip(label, code_name, reason, impl=None):
@@ -493,6 +500,9 @@ def main() -> int:
     finally:
         out_f.close()
         print(f"\n{written} results appended to {args.out}")
+        if RUN_FILTER and written == 0:
+            print(f"WARNING: --filter {RUN_FILTER!r} selected ZERO benches "
+                  "(check the family/label spelling)")
     if STRICT_VIOLATIONS:
         print(f"\n{len(STRICT_VIOLATIONS)} production-path violation(s):")
         for v in STRICT_VIOLATIONS:

@@ -78,12 +78,14 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     sublane-roll kernels — the fastest paths on real TPU hardware;
     int8/int16 run the saturating semantics via exact f32 clips).
 
-    Dtype guidance (measured; ops/pallas_qc._default_batch_tile carries
-    the sweeps): f32 is the production dtype for most codes; bf16 wins
-    1.17-1.48x on TM1280/TM1536 (data-motion-bound masked-roll kernels)
-    and loses 8-24% elsewhere (issue-bound); int8/int16 run saturating
-    semantics for quantized-LLR front ends (flooding: reference-exact;
-    layered: wide-accumulator redesign, see make_ms_decoder_layered).
+    Dtype guidance (measured; ops/routing.py carries the per-code tile
+    sweeps): f32 is the production dtype for every code — the round-4
+    node-major parts kernels retired the earlier "bf16 for TM1280/TM1536"
+    exception (f32 4.25M/3.67M vs bf16 3.89M/3.30M cw/s); bf16 loses
+    8-24% on the issue-bound lane-major kernels too. int8/int16 run
+    saturating semantics for quantized-LLR front ends (flooding:
+    reference-exact; layered: wide-accumulator redesign, see
+    make_ms_decoder_layered).
 
     Raises ValueError with an explicit message on unsupported dtype/impl
     combinations instead of failing deep inside the decoder builders.

@@ -50,26 +50,6 @@ from .pallas_qc import _static_perm_fns
 __all__ = ["make_bf_decoder_pallas"]
 
 
-def _bf_batch_tile(M: int) -> int:
-    """Measured per-code batch-tile defaults (v5e, 3-bit-flip protocol,
-    pipelined timing). The bf state is ~2 (B, V) f32 planes, far lighter
-    than min-sum's message planes, so tiles run larger than the min-sum
-    defaults:
-
-      M=128  (TM1280): 256  (2.32M cw/s; 512: 2.14M, 1024 fails to compile)
-      M=256  (TM1536): 512  (3.42M; 256: 3.33M)
-      M=512  (TM2048/TM5120): 256  (5.42M/2.18M; 128: 5.12M/2.04M)
-      M=1024 (TM6144): 128  (1.99M; 256 ties)
-      M=2048 (TM8192): 128  (1.84M; 64: 1.80M, 256: 1.78M)"""
-    if M == 128:
-        return 256
-    if M == 256:
-        return 512
-    if M == 512:
-        return 256
-    return 128
-
-
 def make_bf_decoder_pallas(
     code: LDPCCode | str,
     maxiters: int = 20,
@@ -93,13 +73,14 @@ def make_bf_decoder_pallas(
     p = code.params
     s = qc_structure(code)
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
-    from .pallas_tc import bf_node_major
+    from .routing import route_for
 
-    if bf_node_major(M):
-        # M <= 256: transposed node-major kernel (sublane rolls; quartered
-        # pi parts + trace-time-gated erasure pass for TM1280/TM1536) —
-        # see ops/pallas_tc.py. Same dispatch pattern as the min-sum
-        # factories; boundary measured in bf_node_major's docstring.
+    route = route_for(code)
+    if route.bf_layout == "node_major":
+        # TC + TM1280/TM1536: transposed node-major kernel (sublane
+        # rolls; quartered pi parts + trace-time-gated erasure pass for
+        # the TM codes) — see ops/pallas_tc.py. Same dispatch pattern as
+        # the min-sum factories; per-code provenance in ops/routing.py.
         from .pallas_tc import make_bf_decoder_pallas_tc
 
         return make_bf_decoder_pallas_tc(
@@ -112,7 +93,7 @@ def make_bf_decoder_pallas(
             f"make_bf_decoder_qc"
         )
     n, V = p.n, Cc * M
-    B = _bf_batch_tile(M) if batch_tile is None else batch_tile
+    B = route.bf_batch_tile if batch_tile is None else batch_tile
     f32 = jnp.float32
     fwd_perm, inv_perm = _static_perm_fns(M)
 

@@ -35,7 +35,7 @@ lane-tile aligned (slice+roll+concat); M = 256 lowers the 64-lane slices
 acceptably; M = 128 instead assembles each permutation from full-width
 masked rolls (see _static_perm_fns). TC codes (M <= 64) stay on the XLA
 qc/layered paths. Per-code batch-tile defaults are measured-in
-(_default_batch_tile). Float32 is bit-exact vs
+(ops/routing.py). Float32 is bit-exact vs
 make_ms_decoder_qc(f32) (same accumulation order); bfloat16 stores
 messages/posteriors in bf16 with f32 compute (per-step rounding), matching
 the XLA bf16 path's contract (validated on decode outcomes + BER).
@@ -168,7 +168,7 @@ def _static_perm_fns(M: int):
     return fwd_perm_s, inv_perm_s
 
 
-def _lane_part_fns(s):
+def _lane_part_fns(s, use_parts: bool):
     """Parts formulation on the LANE axis — the lane-major mirror of
     pallas_tc._part_fns.
 
@@ -189,18 +189,12 @@ def _lane_part_fns(s):
     inv: check-side parts -> var-side scatter (y[perm(i)] = g[i]).
     """
     M = s.m
-    sumA = sum(len(r) for r in s.rows)
-    has_pi = any(perm.kind != "rot" for row in s.rows for perm in row)
-    # Measured per-code (suite protocol, layered f32, v5e): the quartered
-    # lane parts WIN on TM2048 (3.99M vs 3.44M cw/s, +16%) but LOSE or
-    # tie elsewhere — TM8192 flat (1.26M), TM5120 -7%, TM6144 -38%
-    # (steady-state iter rates flat throughout: the unrolled loop is
-    # dependency-bound, not issue-slot-bound, so removing the concat
-    # movement ops only pays where per-tile scheduling was the
-    # bottleneck). Gate to the measured winner; everything else keeps the
-    # round-3 full-plane slice+concat (M >= 512) / masked-roll (M < 512)
-    # permutations.
-    use_parts = has_pi and M == 512 and sumA <= 15
+    # use_parts comes from the caller, which reads it off the explicit
+    # per-code routing table (ops/routing.py `ms_lane_parts` — measured
+    # winner: TM2048 only, +16-21%; TM8192 flat, TM5120 -7%, TM6144 -38%;
+    # provenance in the routing module docstring). No structural
+    # fingerprinting here: a new code must be measured and routed
+    # explicitly (ADVICE r4 / VERDICT r4 item 5).
     if not use_parts:
         fwd_s, inv_s = _static_perm_fns(M)
 
@@ -214,6 +208,7 @@ def _lane_part_fns(s):
     assert all(
         perm.kind != "rot" or perm.shift == 0 for row in s.rows for perm in row
     ), "mixed nonzero-rotation + pi prototypes are not quarterable"
+    assert M % 512 == 0, "lane parts need lane-tile-aligned quarters (M/4 >= 128)"
     q = M // 4
 
     def _roll(x, sh):
@@ -239,51 +234,6 @@ def _lane_part_fns(s):
         return out
 
     return 4, q, fwd, inv
-
-
-def _default_batch_tile(M: int, sumA: int) -> int:
-    """Per-code batch-tile defaults, measured on a v5e core (layered f32,
-    B=32768/16384, batch-tile sweep protocol: tools/bench_pallas_qc.py
-    steady-state probe; the absolute numbers differ from results.jsonl's
-    bench_suite rows, which time 3-bit-flip early-exit decodes — only the
-    RATIOS between tile candidates matter here):
-
-      M=128  (TM1280): 128  (probe 2.55M cw/s; 64: 0.7M, 256: 2.31M)
-      M=256  (TM1536): 512  (3.07M; 256: 2.76M)
-      M=512 light (TM2048, 15 addends): 256  (7.80M; 64: 3.88M, 512: 5.87M)
-      M=512 heavy (TM5120, 39 addends): 128  (2.62M; 256 fails to compile)
-      M=1024 (TM6144): 128  (2.16M; 256 fails to compile)
-      M=2048 (TM8192): 64   (1.74M; 128: 1.47M — VMEM/pipelining pressure)
-
-    The sweet spot balances per-tile fixed cost against VMEM pressure
-    (message planes scale with sumA*B*M*itemsize of the storage dtype).
-
-    bf16 storage halves the u/t'/posterior planes. Whether that pays is
-    REGIME-dependent (full sweep: results.jsonl ms_iter[pallas_*] rows):
-
-      * M=128/256 (TM1280/TM1536, masked/sub-tile roll kernels — data
-        motion bound): bf16 WINS 1.17-1.48x (TM1280 qc 14.2M vs 9.6M
-        cw*iter/s) — halving the bytes the rolls/selects move dominates.
-      * M>=512 (slice-roll kernels — VPU issue bound) and the TC
-        transposed kernels: bf16 LOSES 8-24% (TM8192 layered 4.13M vs
-        5.05M) — the per-step bf16<->f32 converts outweigh the footprint.
-      * A storage-aware 2x tile does NOT rescue the heavy codes: bf16
-        layered TM5120 tile 64/128/256 = 6.24/6.19/5.95M vs f32 6.63M;
-        TM8192 3.39/3.53/fails-to-compile vs f32 4.73M (tile-sweep probe)
-        — throughput there is issue/pipelining bound, not VMEM bound.
-
-    So bf16 keeps the f32 tiles; dtype guidance lives in docs/API.md
-    (bf16 for TM1280/TM1536 throughput, f32 everywhere else unless the
-    surrounding pipeline already holds bf16 LLRs)."""
-    if M == 128:
-        return 128
-    if M == 256:
-        return 512
-    if M == 512:
-        return 256 if sumA <= 15 else 128
-    if M == 1024:
-        return 128
-    return 64
 
 
 def _edge_tables(s):
@@ -345,15 +295,17 @@ def make_ms_decoder_pallas_qc(
     keeps the O(1)-IR fallback.
     """
     code = get_code(code)
-    from .pallas_tc import ms_node_major
+    from .routing import route_for
 
-    if ms_node_major(code.submatrix_size):
-        # M <= 256 uses the transposed node-major kernels, which share
-        # this factory's contract (bit-exact vs make_ms_decoder_qc for
-        # f32, saturating int semantics): TC codes (pure sublane rolls)
-        # and TM1280/TM1536, whose pi perms decompose into quarter parts
-        # there (measured 1.8x the lane-major kernels; for M >= 512 the
-        # lane-major layout wins instead) — see ops/pallas_tc.py
+    route = route_for(code)
+    if route.ms_layout == "node_major":
+        # TC codes + TM1280/TM1536 use the transposed node-major kernels,
+        # which share this factory's contract (bit-exact vs
+        # make_ms_decoder_qc for f32, saturating int semantics): TC codes
+        # are pure sublane rolls and the small-M TM pi perms decompose
+        # into quarter parts there (measured 1.8x the lane-major kernels;
+        # for M >= 512 the lane-major layout wins instead — per-code
+        # provenance in ops/routing.py) — see ops/pallas_tc.py
         from .pallas_tc import make_ms_decoder_pallas_tc_qc
 
         return make_ms_decoder_pallas_tc_qc(
@@ -384,7 +336,7 @@ def make_ms_decoder_pallas_qc(
     n, V = p.n, Cc * M
     q = M // 4
     sumA = sum(len(r) for r in s.rows)
-    B = _default_batch_tile(M, sumA) if batch_tile is None else batch_tile
+    B = route.ms_batch_tile if batch_tile is None else batch_tile
     rows_t, colq_t, thetaq_t, phis_t, row_off_t = _edge_tables(s)
     # BIG: large sentinel for the running two-min (f32 compute); the int
     # path instead seeds min1/min2 at the saturation point, matching
@@ -543,7 +495,7 @@ def make_ms_decoder_pallas_qc(
     # logical plane carried as P lane parts (_lane_part_fns): identity
     # sub-blocks cost zero rolls, pi perms are part reindexes + per-part
     # static lane rolls, and no (B, M) value is ever materialized.
-    P, pq, fwd_parts, inv_parts = _lane_part_fns(s)
+    P, pq, fwd_parts, inv_parts = _lane_part_fns(s, route.ms_lane_parts)
 
     def kernel_static(
         llr_ref,
@@ -806,13 +758,15 @@ def make_ms_decoder_pallas_layered(
     Returns fn(llrs: (B, n) dtype) -> MSResult.
     """
     code = get_code(code)
-    from .pallas_tc import ms_node_major
+    from .routing import route_for
 
-    if ms_node_major(code.submatrix_size):
-        # M <= 256 uses the transposed node-major kernels (bit-exact vs
-        # make_ms_decoder_layered for f32): TC sublane rolls plus the
-        # quartered pi-part path for TM1280/TM1536 (measured 1.8x the
-        # masked-roll lane-major kernels there) — see ops/pallas_tc.py
+    route = route_for(code)
+    if route.ms_layout == "node_major":
+        # TC codes + TM1280/TM1536 use the transposed node-major kernels
+        # (bit-exact vs make_ms_decoder_layered for f32): TC sublane
+        # rolls plus the quartered pi-part path (measured 1.8x the
+        # masked-roll lane-major kernels there; per-code provenance in
+        # ops/routing.py) — see ops/pallas_tc.py
         from .pallas_tc import make_ms_decoder_pallas_tc_layered
 
         return make_ms_decoder_pallas_tc_layered(
@@ -843,11 +797,11 @@ def make_ms_decoder_pallas_layered(
         )
     n, V = p.n, Cc * M
     sumA = sum(len(r) for r in s.rows)
-    B = _default_batch_tile(M, sumA) if batch_tile is None else batch_tile
+    B = route.ms_batch_tile if batch_tile is None else batch_tile
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
-    P, q, fwd_parts, inv_parts = _lane_part_fns(s)
+    P, q, fwd_parts, inv_parts = _lane_part_fns(s, route.ms_lane_parts)
     row_off = [0]
     for row in s.rows:
         row_off.append(row_off[-1] + len(row))

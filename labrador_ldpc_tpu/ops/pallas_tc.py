@@ -92,33 +92,6 @@ def ms_node_major(M: int) -> bool:
     return M <= 256
 
 
-def _default_batch_tile_tc(M: int) -> int:
-    """Lanes (codewords) per grid step. Measured on a v5e core (layered
-    f32, B=65536, pipelined protocol): 512 wins for all three TC codes
-    (TC128 9.4M, TC256 9.0M, TC512 7.1M cw/s; larger tiles lose to
-    VMEM/pipelining pressure and bt >= 4096 can fail to compile).
-    TM codes (quartered node-major, suite protocol): M=128/256 measured
-    best at 256 (TM1280 4.0M, TM1536 3.6M cw/s; 128 and 512 lose);
-    M >= 512 uses 128 — the scratch planes scale with sumA*M, and
-    TM8192 at 256 lanes would blow the 100 MB VMEM budget."""
-    if M >= 512:
-        return 128
-    if M >= 128:
-        return 256
-    return 512
-
-
-def _bf_batch_tile_tc(M: int) -> int:
-    """Measured bf tile defaults (v5e, maxiters=50, 3-bit-flip protocol,
-    B=32768 pipelined): TC128 bt=1024 6.6M cw/s (vs XLA qc 4.4M),
-    TC256 bt=512 8.5M (XLA 3.4M), TC512 bt=1024 7.4M (XLA 1.1M);
-    TM1280/TM1536 (quartered node-major) bt=256 — 6.60M / 6.35M cw/s
-    (512: 6.43/6.14, 1024: 6.07/5.45)."""
-    if M >= 128:
-        return 256
-    return 512 if M == 32 else 1024
-
-
 def bf_node_major(M: int) -> bool:
     """Production bit-flip dispatch boundary (single source of truth for
     the pallas_bf factory and sizes.py): M <= 256 decodes node-major here
@@ -204,14 +177,30 @@ def _part_fns(s):
     return P, q, fwd, inv
 
 
-def _resolve_batch_tile(batch_tile, M, interpret, default=None):
+def _node_major_default_tile(code, ms: bool) -> int:
+    """Default batch tile for THESE (node-major) kernels: the measured
+    per-code production tile from the routing table when the code routes
+    node-major; 128 lanes (one lane tile, VMEM-safe at any sumA*M) when a
+    lane-major code is forced through here for an off-route experiment
+    (e.g. the round-4 tall-parts falsification sweeps on TM8192/TM6144 —
+    those pass explicit tiles anyway)."""
+    from .routing import NODE_MAJOR, route_for
+
+    route = route_for(code)
+    layout = route.ms_layout if ms else route.bf_layout
+    if layout == NODE_MAJOR:
+        return route.ms_batch_tile if ms else route.bf_batch_tile
+    return 128
+
+
+def _resolve_batch_tile(batch_tile, M, interpret, default):
     """TC kernels put the BATCH on the 128 TPU lanes, so an explicit
     batch_tile must be a lane-tile multiple when compiled for real TPU
     (interpret mode is exempt). Validated here, once, for every dispatcher
     (make_bf_decoder_pallas / make_ms_decoder_pallas_* forward to these
     factories; the TM kernels tile sublanes instead and accept any size)."""
     if batch_tile is None:
-        return _default_batch_tile_tc(M) if default is None else default
+        return default
     if not interpret and batch_tile % 128:
         raise ValueError(
             f"TC codes put the batch on the 128 TPU lanes: batch_tile must "
@@ -298,7 +287,8 @@ def make_ms_decoder_pallas_tc_layered(
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     n, V = p.n, Cc * M
     sumA = sum(len(r) for r in s.rows)
-    B = _resolve_batch_tile(batch_tile, M, interpret)
+    B = _resolve_batch_tile(batch_tile, M, interpret,
+                            default=_node_major_default_tile(code, ms=True))
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
@@ -536,7 +526,8 @@ def make_ms_decoder_pallas_tc_qc(
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     n, V = p.n, Cc * M
     sumA = sum(len(r) for r in s.rows)
-    B = _resolve_batch_tile(batch_tile, M, interpret)
+    B = _resolve_batch_tile(batch_tile, M, interpret,
+                            default=_node_major_default_tile(code, ms=True))
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
@@ -812,7 +803,7 @@ def make_bf_decoder_pallas_tc(
         # final block column (true for every punctured CCSDS TM code)
         assert p.punctured_bits == M and n == (Cc - 1) * M, code.name
     B = _resolve_batch_tile(batch_tile, M, interpret,
-                            default=_bf_batch_tile_tc(M))
+                            default=_node_major_default_tile(code, ms=False))
     f32 = jnp.float32
     P, q, fwd, inv = _part_fns(s)
 

@@ -170,7 +170,7 @@ def decoder_memory(
 
     impl: 'pallas_qc' (flooding), 'pallas_layered', or 'pallas_bf'.
     The default batch_tile is the measured per-code production tile
-    (ops/pallas_qc._default_batch_tile and friends).
+    (ops/routing.py ROUTES).
     """
     code = get_code(code)
     p = code.params
@@ -178,42 +178,27 @@ def decoder_memory(
     M, R, Cc = s.m, s.n_block_rows, s.n_block_cols
     n, V = p.n, Cc * M
     sumA = sum(len(r) for r in s.rows)
-    # the production boundaries live in pallas_tc.ms_node_major /
-    # bf_node_major (both M <= 256: TC + quartered TM1280/TM1536)
+    # the production layouts and tiles live in the explicit per-code
+    # routing table (ops/routing.py)
+    from .ops.routing import route_for
+
+    route = route_for(code)
     if impl == "pallas_bf":
-        from .ops.pallas_tc import bf_node_major
-
-        node_major = bf_node_major(M)
+        node_major = route.bf_layout == "node_major"
     else:
-        from .ops.pallas_tc import ms_node_major
-
-        node_major = ms_node_major(M)
+        node_major = route.ms_layout == "node_major"
     in_dt = jnp.dtype(dtype) if impl != "pallas_bf" else _F32
     st = _storage_dtype(in_dt)
 
     if impl == "pallas_bf":
         if batch_tile is None:
-            if node_major:
-                from .ops.pallas_tc import _bf_batch_tile_tc
-
-                batch_tile = _bf_batch_tile_tc(M)
-            else:
-                from .ops.pallas_bf import _bf_batch_tile
-
-                batch_tile = _bf_batch_tile(M)
+            batch_tile = route.bf_batch_tile
         specs = bf_scratch_specs(V, batch_tile, node_major)
         # the bf kernels take hard bits as f32 planes over ALL V vars
         in_bytes = V * batch_tile * 4
     elif impl in ("pallas_qc", "pallas_layered"):
         if batch_tile is None:
-            if node_major:
-                from .ops.pallas_tc import _default_batch_tile_tc
-
-                batch_tile = _default_batch_tile_tc(M)
-            else:
-                from .ops.pallas_qc import _default_batch_tile
-
-                batch_tile = _default_batch_tile(M, sumA)
+            batch_tile = route.ms_batch_tile
         if impl == "pallas_qc":
             specs = ms_flooding_scratch_specs(
                 sumA, R, V, M, batch_tile, st, node_major

@@ -19,6 +19,8 @@ Semantics ported from:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from ..codes.expand import generator_parity_matrix, parity_edges
@@ -244,6 +246,108 @@ def decode_ms(code: LDPCCode | str, llrs: np.ndarray, maxiters: int = 20):
 
 def _hard_vec(x: np.ndarray, ops) -> np.ndarray:
     return np.array([ops.hard(xi) for xi in x], dtype=bool)
+
+
+# ---------------------------------------------------------------------------
+# independent executor for the WIDE-ACCUMULATOR layered int semantics
+# (VERDICT r4 item 7). This repo's best int8 result — the layered schedule
+# with saturating MESSAGES but a wide (never-clipped) posterior accumulator
+# (ops/qc_minsum.make_ms_decoder_layered docstring) — is a deliberate
+# redesign with no counterpart in the reference, so the native C++ codec
+# (reference flooding semantics) cannot cross-check it. This NumPy
+# implementation executes the same documented algorithm from scratch over
+# plain CSR edge tables — no QC roll formulation, no block permutations,
+# no code shared with the jax/Pallas twins — closing the last
+# single-executor loop in the BER chain. tests/test_decoders.py pins it
+# bit-exact (bits/success/iterations) against make_ms_decoder_layered on
+# small codes; tools/native_crosscheck.py drives it through the channel
+# protocol at the TM8192 int8 anchor for the statistical gate.
+
+
+@lru_cache(maxsize=None)
+def _layer_tables(name: str):
+    """Per-block-row CSR edge tables: for layer r (checks [rM, (r+1)M)),
+    (vars, seg_starts, edge_seg) with edges sorted by check. Plus the flat
+    (check, var) arrays for the end-of-iteration syndrome. numpy only
+    (never cache jnp arrays — CLAUDE.md)."""
+    code = get_code(name)
+    p = code.params
+    M = code.submatrix_size
+    R = p.n_checks // M
+    edges = np.asarray(parity_edges(code), dtype=np.int64).reshape(-1, 2)
+    chk, var = edges[:, 0], edges[:, 1]
+    layers = []
+    for r in range(R):
+        sel = (chk >= r * M) & (chk < (r + 1) * M)
+        c_r, v_r = chk[sel], var[sel]
+        order = np.argsort(c_r, kind="stable")
+        c_r, v_r = c_r[order], v_r[order]
+        uniq, starts = np.unique(c_r, return_index=True)
+        assert len(uniq) == M, (name, r)  # every check has edges
+        layers.append((v_r, starts, c_r - r * M))
+    return layers, chk, var
+
+
+def decode_ms_layered_int(code: LDPCCode | str, llrs: np.ndarray, maxiters: int = 20):
+    """Row-layered self-corrected min-sum with saturating int8/int16
+    messages and a WIDE posterior accumulator — the independent executor
+    of the production layered-int semantics.
+
+    The algorithm, restated from the twin's documented contract
+    (qc_minsum.make_ms_decoder_layered): per iteration, block-rows of H
+    are processed sequentially; for layer r, extrinsics
+    t = clip(va - u_old) (saturating sub) are computed for ALL of the
+    layer's edges from the layer-entry posteriors, self-corrected against
+    the previous iteration's extrinsic of the same edge (zero on sign
+    flip, decoder.rs:420-426), reduced per check to the two smallest
+    saturating |t| and the sign product, and the posterior is updated
+    va += u_new - u_old with NO clipping (the accumulator is bounded by
+    (1 + var degree) * HI, exact in int64). Convergence is the syndrome
+    over the end-of-iteration posterior signs.
+
+    Returns (success, iters, output_bytes) like `decode_ms` (iters is the
+    0-based iteration index at convergence, maxiters on failure).
+    """
+    code = get_code(code)
+    p = code.params
+    llrs = np.asarray(llrs)
+    dt = llrs.dtype
+    assert dt in (np.dtype(np.int8), np.dtype(np.int16)), dt
+    LO, HI = int(np.iinfo(dt).min), int(np.iinfo(dt).max)
+    n, Vn = p.n, p.n_vars
+    assert llrs.size == n
+    layers, chk_all, var_all = _layer_tables(code.name)
+
+    va = np.zeros(Vn, np.int64)
+    va[:n] = llrs.astype(np.int64)
+    u = [np.zeros(len(v_r), np.int64) for (v_r, _, _) in layers]
+    tp = [np.zeros(len(v_r), np.int64) for (v_r, _, _) in layers]
+
+    for it in range(maxiters):
+        for li, (v_r, starts, seg) in enumerate(layers):
+            t = np.clip(va[v_r] - u[li], LO, HI)
+            keep = ((t < 0) == (tp[li] < 0)) | (tp[li] == 0)
+            t = np.where(keep, t, 0)
+            a1 = np.minimum(np.abs(t), HI)  # saturating abs: |-128| -> 127
+            m1 = np.minimum.reduceat(a1, starts)
+            at_min = a1 == m1[seg]
+            cnt_min = np.add.reduceat(at_min.astype(np.int64), starts)
+            # second-smallest with the twin's HI seed semantics: when the
+            # min is unique, min over the remaining edges (HI if none)
+            excl = np.where(at_min, np.int64(HI), a1)
+            m2 = np.where(cnt_min >= 2, m1, np.minimum.reduceat(excl, starts))
+            neg_t = t < 0
+            sg = (np.add.reduceat(neg_t.astype(np.int64), starts) & 1).astype(bool)
+            mag = np.where(at_min, m2[seg], m1[seg])
+            u_new = np.where(sg[seg] ^ neg_t, -mag, mag)
+            np.add.at(va, v_r, u_new - u[li])  # wide accumulator: no clip
+            u[li] = u_new
+            tp[li] = t
+        par = np.zeros(p.n_checks, np.int64)
+        np.add.at(par, chk_all, (va[var_all] < 0).astype(np.int64))
+        if not (par & 1).any():
+            return True, it, pack_bits((va < 0).astype(np.uint8))
+    return False, maxiters, pack_bits((va < 0).astype(np.uint8))
 
 
 # ---------------------------------------------------------------------------

@@ -155,10 +155,11 @@ TM_PI_CODES = ["TM1280", "TM1536"]  # M = 128 / 256: node-major pi perms
 
 @pytest.mark.parametrize("name", TM_PI_CODES)
 def test_pallas_tc_pi_layered_matches_layered_xla_f32(name):
-    """M=128/256 TM codes in the node-major layout: the pi permutations
-    (theta quarter rotation + per-quarter phi rolls) lower as
-    sublane-tile-aligned quarter slice+roll+concat (_roll_fns). Bit-exact
-    vs the XLA layered decoder, including the punctured tail."""
+    """M=128/256 TM codes in the node-major layout: planes are carried as
+    four quarter PARTS closed under every pi permutation (_part_layout /
+    _part_fns — a pi perm is a part reindex plus per-part static sublane
+    rolls; no concats, no slicing of computed values). Bit-exact vs the
+    XLA layered decoder, including the punctured tail."""
     code = get_code(name)
     noisy = _noisy(code, 6, 607, sigma=0.6)
     r_p = make_ms_decoder_pallas_tc_layered(

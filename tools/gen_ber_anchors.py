@@ -72,78 +72,66 @@ def main():
 
 
 OUT_I8 = OUT.with_name("ber_regression_points_i8.csv")
-
-
-def main_i8():
-    """Anchor the PRODUCTION int8 layered path (impl=pallas_layered,
-    dtype=int8, default quantizer scale 16) on the real TPU at the TM8192
-    flagship's mid-waterfall point. The CI gate reruns it with the XLA
-    layered int8 twin (make_ms_decoder_layered), which is pinned bit-exact
-    to this kernel (tests/test_pallas.py), so the anchor gates the Pallas
-    semantics without needing Mosaic in CI."""
-    rows = []
-    pts = waterfall(
-        "TM8192", [1.1], batch=4096, maxiters=100,
-        max_bits=16_000_000, max_bit_errors=5_000,
-        noise_model="ebn0", dtype_name="int8", impl="pallas_layered",
-        seed=0, verbose=True,
-    )
-    for p in pts:
-        rows.append(f"{p.csv()},ebn0,{p.frame_errors}")
-    header = (
-        "# int8 production-path anchor measured on real TPU\n"
-        "# (tools/gen_ber_anchors.py --i8; impl=pallas_layered, dtype=int8,\n"
-        "# llr_scale=16, maxiters=100, batch=4096, stop at 5k bit errors or\n"
-        "# 16M data bits, seed 0). Gated in tests/test_ber_regression.py via\n"
-        "# the bit-exact XLA layered int8 twin.\n"
-        "# Columns: code,snr_db,trials,data_bits,bit_errors,ber,noise_model,"
-        "frame_errors\n"
-    )
-    OUT_I8.write_text(header + "\n".join(rows) + "\n")
-    print(f"wrote {len(rows)} anchors to {OUT_I8}")
-
-
 OUT_I8_FLOOD = OUT.with_name("ber_regression_points_i8_flooding.csv")
+OUT_I16 = OUT.with_name("ber_regression_points_i16.csv")
+OUT_I16_FLOOD = OUT.with_name("ber_regression_points_i16_flooding.csv")
 
 
-def main_i8_flooding():
-    """Anchor the FLOODING int8 path (reference clamp-everywhere
-    semantics — decoder.rs:42-55 — which the native scalar codec also
-    implements) at the TM8192 mid-waterfall point, WITH frame errors.
+def main_int(bits: int, flooding: bool):
+    """Anchor an integer-LLR path at the TM8192 mid-waterfall point.
 
-    This is the TPU-side row the independent-executor cross-check
-    (tools/native_crosscheck.py, tm8192_i8 anchor) is compared against in
-    tests/test_ber_regression.py::test_native_crosscheck_agreement: the
-    redesigned wide-accumulator LAYERED int8 anchor (--i8) is deliberately
-    ~2x better and must NOT be used for that comparison. Runs the Pallas
-    flooding int8 kernel, pinned bit-exact to the XLA qc_int twin by
-    tools/tpu_parity.py."""
+    Layered (`--i8` / `--i16`): the PRODUCTION int path (impl=
+    pallas_layered, default quantizer scale — 16 for int8, 256 for int16).
+    The CI gate reruns it with the XLA layered int twin
+    (make_ms_decoder_layered), pinned bit-exact to the kernel
+    (tests/test_pallas.py), so the anchor gates the Pallas semantics
+    without needing Mosaic in CI; the independent NumPy executor
+    (oracle.decode_ms_layered_int via tools/native_crosscheck.py) provides
+    the second-executor statistical check.
+
+    Flooding (`--i8-flooding` / `--i16-flooding`): the reference
+    clamp-everywhere semantics (decoder.rs:42-55), which the native scalar
+    C++ codec also implements — the TPU-side comparison rows for
+    test_native_crosscheck_agreement. The redesigned wide-accumulator
+    LAYERED anchors are deliberately better and must NOT be used for that
+    comparison. Fixed 8192 trials (no bit-error stop) so frame counts are
+    directly comparable."""
+    dtype_name = f"int{bits}"
+    scale = {8: 16, 16: 256}[bits]
+    if flooding:
+        impl, out = "pallas_qc", {8: OUT_I8_FLOOD, 16: OUT_I16_FLOOD}[bits]
+        kw = dict(max_bits=33_554_432, max_bit_errors=10**9)
+        kind = "FLOODING-path (reference clamp-everywhere semantics)"
+    else:
+        impl, out = "pallas_layered", {8: OUT_I8, 16: OUT_I16}[bits]
+        kw = dict(max_bits=16_000_000, max_bit_errors=5_000)
+        kind = "production-path (layered, wide posterior accumulator)"
     pts = waterfall(
         "TM8192", [1.1], batch=4096, maxiters=100,
-        max_bits=33_554_432, max_bit_errors=10**9,
-        noise_model="ebn0", dtype_name="int8", impl="pallas_qc",
-        seed=0, verbose=True,
+        noise_model="ebn0", dtype_name=dtype_name, impl=impl,
+        seed=0, verbose=True, **kw,
     )
     rows = [f"{p.csv()},ebn0,{p.frame_errors}" for p in pts]
     header = (
-        "# int8 FLOODING-path anchor measured on real TPU\n"
-        "# (tools/gen_ber_anchors.py --i8-flooding; impl=pallas_qc,\n"
-        "# dtype=int8, llr_scale=16, maxiters=100, batch=4096, 8192 trials,\n"
-        "# seed 0). Reference clamp-everywhere semantics - the comparison\n"
-        "# row for the native-codec cross-check (test_native_crosscheck_\n"
-        "# agreement), NOT a production anchor (the layered redesign in\n"
-        "# ber_regression_points_i8.csv is the production int8 path).\n"
+        f"# {dtype_name} {kind} anchor measured on real TPU\n"
+        f"# (tools/gen_ber_anchors.py; impl={impl}, dtype={dtype_name},\n"
+        f"# llr_scale={scale}, maxiters=100, batch=4096, seed 0).\n"
+        f"# Gated in tests/test_ber_regression.py.\n"
         "# Columns: code,snr_db,trials,data_bits,bit_errors,ber,noise_model,"
         "frame_errors\n"
     )
-    OUT_I8_FLOOD.write_text(header + "\n".join(rows) + "\n")
-    print(f"wrote {len(rows)} anchors to {OUT_I8_FLOOD}")
+    out.write_text(header + "\n".join(rows) + "\n")
+    print(f"wrote {len(rows)} anchors to {out}")
 
 
 if __name__ == "__main__":
     if "--i8-flooding" in sys.argv:
-        main_i8_flooding()
+        main_int(8, flooding=True)
     elif "--i8" in sys.argv:
-        main_i8()
+        main_int(8, flooding=False)
+    elif "--i16-flooding" in sys.argv:
+        main_int(16, flooding=True)
+    elif "--i16" in sys.argv:
+        main_int(16, flooding=False)
     else:
         main()

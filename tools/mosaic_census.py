@@ -174,45 +174,33 @@ def main():
 
     from labrador_ldpc_tpu.codes.params import get_code
     from labrador_ldpc_tpu.ops.pallas_qc import (
-        _default_batch_tile,
         make_ms_decoder_pallas_layered,
         make_ms_decoder_pallas_qc,
     )
-    from labrador_ldpc_tpu.ops.pallas_tc import (
-        _bf_batch_tile_tc,
-        _default_batch_tile_tc,
-        bf_node_major,
-        ms_node_major,
-    )
+    from labrador_ldpc_tpu.ops.routing import route_for
     from labrador_ldpc_tpu.codes.expand import qc_structure
 
     code = get_code(args.code)
     s = qc_structure(code)
-    sumA = sum(len(r) for r in s.rows)
+    route = route_for(code)
     # B must be the PRODUCTION kernel's own batch tile: the decode wrapper
     # pads the input to a tile multiple, so the while body always operates
     # on whole tiles — normalizing by anything else mis-states per-cw
     # counts. (Round-4 regression: using the lane-major default for the
     # node-major TM1280 kernel, whose tile is 2x larger, overstated its
     # slots/cw by 2x and with it the "~95% of issue peak" claim; the
-    # corrected figure is in STATUS.md.)
+    # corrected figure is in STATUS.md.) The tiles come straight off the
+    # routing table, so the census always matches production dispatch.
     if args.impl == "pallas_bf":
-        from labrador_ldpc_tpu.ops.pallas_bf import (
-            _bf_batch_tile,
-            make_bf_decoder_pallas,
-        )
+        from labrador_ldpc_tpu.ops.pallas_bf import make_bf_decoder_pallas
 
-        B = _bf_batch_tile_tc(s.m) if bf_node_major(s.m) else _bf_batch_tile(s.m)
+        B = route.bf_batch_tile
         example = jnp.zeros((B, code.n), jnp.uint8)
         text = extract_mosaic_modules(
             lambda: make_bf_decoder_pallas(code, maxiters=50), example
         )
     else:
-        B = (
-            _default_batch_tile_tc(s.m)
-            if ms_node_major(s.m)
-            else _default_batch_tile(s.m, sumA)
-        )
+        B = route.ms_batch_tile
         factory = (
             make_ms_decoder_pallas_layered
             if args.impl == "pallas_layered"

@@ -48,6 +48,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 RESULTS = Path(__file__).resolve().parent.parent / "benchmarks" / "results"
 CSV = RESULTS / "ber_native_crosscheck.csv"
+CSV_ORACLE = RESULTS / "ber_oracle_crosscheck.csv"
 PROGRESS = RESULTS / "ber_native_crosscheck_progress.jsonl"
 
 HEADER = (
@@ -60,6 +61,19 @@ HEADER = (
     "frame_errors,dtype,llr_scale,maxiters\n"
 )
 
+HEADER_ORACLE = (
+    "# Independent-executor cross-check rows for the LAYERED wide-\n"
+    "# accumulator int semantics: the scalar NumPy executor\n"
+    "# (utils/oracle.decode_ms_layered_int, bit-exact vs the XLA twin but\n"
+    "# sharing no code with it) run through the exact channel protocol\n"
+    "# with numpy PCG64 noise (tools/native_crosscheck.py, *_layered\n"
+    "# anchors). Compared against the TPU layered anchors\n"
+    "# (ber_regression_points_i8.csv / _i16.csv) by\n"
+    "# tests/test_ber_regression.py::test_oracle_layered_crosscheck_agreement.\n"
+    "# Columns: code,snr_db,trials,data_bits,bit_errors,ber,noise_model,"
+    "frame_errors,dtype,llr_scale,maxiters\n"
+)
+
 
 @dataclass(frozen=True)
 class Anchor:
@@ -67,20 +81,30 @@ class Anchor:
     code: str
     snr_db: float
     model: str  # "perftest" | "ebn0"
-    dtype: str  # "float32" | "int8"
+    dtype: str  # "float32" | "int8" | "int16"
     llr_scale: float | None
     maxiters: int
     trials: int
     seed: int
+    # which independently-written executor decodes the trials:
+    #   "native":         the scalar C++ codec (reference flooding
+    #                     semantics, bit-exact vs utils/oracle.decode_ms)
+    #   "oracle_layered": the scalar NumPy executor of the redesigned
+    #                     wide-accumulator layered int semantics
+    #                     (utils/oracle.decode_ms_layered_int — shares no
+    #                     code with the jax/Pallas twins; VERDICT r4
+    #                     item 7). Its rows go to ber_oracle_crosscheck.csv.
+    executor: str = "native"
 
 
-# The two anchors VERDICT r3 item 2 names, matched to stored TPU rows:
+# The anchors, matched to stored TPU rows:
 #  - TC512 @1.0 dB perftest f32 (ber_regression_points.csv: 745/4096 FE)
 #  - TM8192 @1.1 dB ebn0 int8 scale 16 — the native codec carries the
 #    reference's clamp-everywhere FLOODING int semantics, so it checks the
 #    flooding qc_i8 path (337/4096 FE per STATUS.md; full curve
 #    waterfall_tm8192_ebn0_qc_i8.csv), NOT the redesigned wide-accumulator
-#    layered path (168/4096).
+#    layered path (168/4096) — THAT path's independent check is the
+#    "*_layered" anchors below via the oracle_layered executor.
 ANCHORS = {
     "tc512": Anchor(
         "tc512", "TC512", 1.0, "perftest", "float32", None, 100, 32768, 7001
@@ -92,6 +116,22 @@ ANCHORS = {
     # flagship code; TPU row TM8192@1.1 ebn0 f32 in ber_regression_points.csv).
     "tm8192_f32": Anchor(
         "tm8192_f32", "TM8192", 1.1, "ebn0", "float32", None, 100, 16384, 7003
+    ),
+    # int16 flooding cross-check (VERDICT r4 item 3): compared against the
+    # TPU flooding int16 anchor (ber_regression_points_i16_flooding.csv).
+    "tm8192_i16": Anchor(
+        "tm8192_i16", "TM8192", 1.1, "ebn0", "int16", 256.0, 100, 16384, 7005
+    ),
+    # The layered wide-accumulator int paths via the independent NumPy
+    # executor (VERDICT r4 item 7): compared against the TPU layered
+    # anchors (ber_regression_points_i8.csv / _i16.csv).
+    "tm8192_i8_layered": Anchor(
+        "tm8192_i8_layered", "TM8192", 1.1, "ebn0", "int8", 16.0, 100, 4096,
+        7004, executor="oracle_layered",
+    ),
+    "tm8192_i16_layered": Anchor(
+        "tm8192_i16_layered", "TM8192", 1.1, "ebn0", "int16", 256.0, 100,
+        4096, 7006, executor="oracle_layered",
     ),
 }
 
@@ -118,17 +158,30 @@ def run_chunk(args):
     frame_errors = 0
     failures = 0
     iterations = 0
+    if a.executor == "oracle_layered":
+        from labrador_ldpc_tpu.utils.oracle import decode_ms_layered_int
+
+        def _decode(llrs):
+            return decode_ms_layered_int(code, llrs, maxiters=a.maxiters)
+    else:
+
+        def _decode(llrs):
+            return capi.decode_ms(code, llrs, maxiters=a.maxiters)
+
     for _ in range(count):
         data = rng.integers(0, 256, k // 8, dtype=np.uint8)
         cw = capi.copy_encode(code, data)
         bits = np.unpackbits(cw)  # (n,) msb-first, the codec's bit order
         tx = 1.0 - 2.0 * bits.astype(np.float64)
         soft = tx + rng.normal(0.0, sigma, n)
-        if a.dtype == "int8":
-            llrs = np.clip(np.round(soft * a.llr_scale), -128, 127).astype(np.int8)
+        if a.dtype in ("int8", "int16"):
+            info = np.iinfo(a.dtype)
+            llrs = np.clip(
+                np.round(soft * a.llr_scale), info.min, info.max
+            ).astype(a.dtype)
         else:
             llrs = soft.astype(np.float32)
-        ok, iters, out = capi.decode_ms(code, llrs, maxiters=a.maxiters)
+        ok, iters, out = _decode(llrs)
         be = int(np.unpackbits(out[: k // 8] ^ data).sum())
         bit_errors += be
         frame_errors += be > 0
@@ -181,11 +234,13 @@ def write_row(a: Anchor, total: dict) -> None:
         f"{total['bit_errors']},{ber:.6e},{a.model},{total['frame_errors']},"
         f"{a.dtype},{a.llr_scale if a.llr_scale is not None else ''},{a.maxiters}\n"
     )
-    if not CSV.exists():
-        CSV.write_text(HEADER)
-    with open(CSV, "a") as f:
+    csv_path = CSV_ORACLE if a.executor == "oracle_layered" else CSV
+    header = HEADER_ORACLE if a.executor == "oracle_layered" else HEADER
+    if not csv_path.exists():
+        csv_path.write_text(header)
+    with open(csv_path, "a") as f:
         f.write(row)
-    print(f"[{a.name}] row appended to {CSV}:\n{row}", flush=True)
+    print(f"[{a.name}] row appended to {csv_path}:\n{row}", flush=True)
 
 
 def calibrate(procs: int) -> None:
