@@ -20,12 +20,22 @@ def _cmd_waterfall(args) -> int:
 
     # validate dtype/impl compatibility up front with a clear CLI error
     # (the decoder factories raise too, but argparse errors are friendlier)
-    if args.impl == "qc_i8" and args.dtype != "int8":
-        raise SystemExit("error: --impl qc_i8 requires --dtype int8")
-    if args.impl == "qc_i16" and args.dtype != "int16":
-        raise SystemExit("error: --impl qc_i16 requires --dtype int16")
-    if args.dtype == "int32" and args.impl not in ("ref", "auto"):
-        raise SystemExit("error: --dtype int32 requires --impl ref (or auto)")
+    if args.decoder == "bf":
+        if args.impl not in ("auto", "pallas", "qc", "gather"):
+            raise SystemExit(
+                "error: --decoder bf takes --impl auto|pallas|qc|gather"
+            )
+    else:
+        if args.noise_model == "bsc":
+            raise SystemExit("error: --noise-model bsc requires --decoder bf")
+        if args.impl in ("pallas", "gather"):
+            raise SystemExit(f"error: --impl {args.impl} requires --decoder bf")
+        if args.impl == "qc_i8" and args.dtype != "int8":
+            raise SystemExit("error: --impl qc_i8 requires --dtype int8")
+        if args.impl == "qc_i16" and args.dtype != "int16":
+            raise SystemExit("error: --impl qc_i16 requires --dtype int16")
+        if args.dtype == "int32" and args.impl not in ("ref", "auto"):
+            raise SystemExit("error: --dtype int32 requires --impl ref (or auto)")
 
     if args.snrs:
         snrs = [float(s) for s in args.snrs.split(",")]
@@ -48,6 +58,7 @@ def _cmd_waterfall(args) -> int:
         csv_out=sys.stdout,
         verbose=args.verbose,
         checkpoint=args.checkpoint,
+        decoder=args.decoder,
     )
     return 0
 
@@ -88,16 +99,25 @@ def main(argv=None) -> int:
     w.add_argument("--maxiters", type=int, default=100)  # perftest uses 100
     w.add_argument("--max-bits", type=int, default=50_000_000)
     w.add_argument("--max-bit-errors", type=int, default=5_000)
-    w.add_argument("--noise-model", choices=["perftest", "ebn0"], default="perftest")
+    w.add_argument("--noise-model", choices=["perftest", "ebn0", "bsc"],
+                   default="perftest",
+                   help="soft-noise convention, or 'bsc' (hard channel, "
+                        "--decoder bf only: --snrs values are flip "
+                        "probabilities p, not dB)")
+    w.add_argument("--decoder", choices=["ms", "bf"], default="ms",
+                   help="decode surface: min-sum (soft) or bit-flip "
+                        "(hard-decision; channel/hard.py)")
     w.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16", "float64", "int8", "int16", "int32"])
     w.add_argument("--alpha", type=float, default=None, help="normalized min-sum factor")
     w.add_argument("--impl", choices=["auto", "ref", "qc", "layered", "qc_i8", "qc_i16",
-                                      "pallas_qc", "pallas_layered"],
+                                      "pallas_qc", "pallas_layered",
+                                      "pallas", "gather"],
                    default="auto",
                    help="decoder implementation (default auto: the measured-best "
                         "production path — fused Pallas kernels on TPU; int dtypes "
-                        "with 'qc' route to the saturating QC int path)")
+                        "with 'qc' route to the saturating QC int path; with "
+                        "--decoder bf the space is auto|pallas|qc|gather)")
     w.add_argument("--llr-scale", type=float, default=None,
                    help="int-LLR quantizer scale (default: 16 for int8, 256 for int16)")
     w.add_argument("--seed", type=int, default=0)

@@ -138,11 +138,21 @@ def waterfall(
     verbose: bool = False,
     pipeline_depth: int = 4,
     checkpoint=None,
+    decoder: str = "ms",
 ) -> list[SnrPoint]:
     """Run a BER/FER waterfall sweep; returns one SnrPoint per SNR.
 
     Stopping rules per point mirror the reference: stop when `max_bits` data
     bits have been simulated or `max_bit_errors` bit errors observed.
+
+    `decoder` selects the decode surface: "ms" (default — soft channel,
+    AWGN on LLRs per `noise_model`) or "bf" (hard-decision bit-flip,
+    channel/hard.py): noise_model "bsc" treats the `snrs_db` values as raw
+    flip probabilities p, while "perftest"/"ebn0" run the SAME AWGN
+    channel as the ms sweep hard-sliced before decoding — so the measured
+    BF-vs-MS gap at equal dB is the reference's documented tradeoff
+    (src/lib.rs:165-172). bf ignores dtype_name/alpha/llr_scale; its impl
+    space is auto|pallas|qc|gather (hard.resolve_bf_impl).
 
     Up to `pipeline_depth` trial steps are kept in flight (JAX dispatch is
     async), so the device stays busy instead of paying the host round trip
@@ -175,10 +185,20 @@ def waterfall(
     # resolve "auto" here so the checkpoint config below records the
     # CONCRETE impl (a checkpoint written on TPU must not silently resume
     # onto a different decoder off-TPU)
-    from .awgn import resolve_impl
+    if decoder == "bf":
+        from .hard import make_bf_trial_step, resolve_bf_impl
 
-    impl = resolve_impl(code, dtype_name, impl)
-    step = make_trial_step(code, batch, maxiters, dtype_name, alpha, impl, llr_scale, mesh)
+        impl = resolve_bf_impl(code, impl)
+        step = make_bf_trial_step(code, batch, maxiters, noise_model, impl, mesh)
+    elif decoder == "ms":
+        from .awgn import resolve_impl
+
+        impl = resolve_impl(code, dtype_name, impl)
+        step = make_trial_step(
+            code, batch, maxiters, dtype_name, alpha, impl, llr_scale, mesh
+        )
+    else:
+        raise ValueError(f"unknown decoder {decoder!r} (ms|bf)")
     key = jax.random.PRNGKey(seed)
     ckpt = None
     splits_drained = 0
@@ -208,7 +228,9 @@ def waterfall(
     # check-before-launch loop exactly when the error budget never binds)
     n_steps_max = max(1, -(-max_bits // (batch * k)))
     for snr in snrs_db:
-        sigma = noise_sigma(snr, code, noise_model)
+        # "bsc" (hard channel, decoder="bf"): the sweep values ARE the
+        # flip probabilities; the soft models map dB -> sigma
+        sigma = snr if noise_model == "bsc" else noise_sigma(snr, code, noise_model)
         pt = SnrPoint(code=code.value, snr_db=snr)
         launched = 0
         elapsed0 = 0.0
