@@ -36,7 +36,7 @@ from ..ops.bitflip import BFResult
 from ..ops.encoder import encode_bits
 from .awgn import ChannelStats, shard_map_decoder
 
-__all__ = ["make_bf_trial_step", "resolve_bf_impl"]
+__all__ = ["make_bf_trial_step", "make_ms_hard_trial_step", "resolve_bf_impl"]
 
 
 def resolve_bf_impl(code, impl: str, backend: str | None = None) -> str:
@@ -124,6 +124,72 @@ def make_bf_trial_step(
         res = decoder(rx)
         data_hat = res.bits[:, : p.k]
         bit_err = (data_hat != data_bits).sum(dtype=jnp.int32, axis=1)  # (B,)
+        return ChannelStats(
+            trials=jnp.asarray(batch, jnp.int32),
+            bit_errors=bit_err.sum(dtype=jnp.int32),
+            frame_errors=(bit_err > 0).sum(dtype=jnp.int32),
+            decode_failures=(~res.success).sum(dtype=jnp.int32),
+            iterations=res.iterations.sum(dtype=jnp.int32),
+        )
+
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=None)
+def make_ms_hard_trial_step(
+    code: LDPCCode | str,
+    batch: int,
+    maxiters: int = 50,
+    channel: str = "bsc",
+    impl: str = "auto",
+    mesh=None,
+):
+    """Min-sum driven by HARD channel output (+-1 LLRs after slicing).
+
+    This is the decode_ms side of the reference's own BF-vs-MS framing —
+    both decoders consuming the same hard-decision bits
+    (src/lib.rs:160-172 presents them as alternatives over `hard_to_llrs`
+    input) — so (bf curve) - (this curve) at matched channel is the
+    ALGORITHMIC gap the reference quotes as "one to two dB", with the
+    soft-information loss (~2 dB, this curve vs the soft ms waterfall)
+    separated out. Same channel/param conventions as make_bf_trial_step.
+    """
+    from .awgn import _make_decoder, resolve_impl
+
+    code = get_code(code)
+    p = code.params
+    if channel not in ("bsc", "perftest", "ebn0"):
+        raise ValueError(f"unknown hard channel {channel!r} (bsc|perftest|ebn0)")
+    impl = resolve_impl(code, jnp.float32, impl)
+    decoder = _make_decoder(code, jnp.float32, maxiters, None, impl)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert batch % mesh.devices.size == 0, (batch, mesh.devices.size)
+        data_s = NamedSharding(mesh, P("batch", None))
+        if impl.startswith("pallas"):
+            decoder = shard_map_decoder(decoder, mesh)
+
+    def step(key: jax.Array, param: jnp.ndarray) -> ChannelStats:
+        kd, kn = jax.random.split(key)
+        data_bits = jax.random.bernoulli(kd, 0.5, (batch, p.k)).astype(jnp.uint8)
+        if mesh is not None:
+            data_bits = jax.lax.with_sharding_constraint(data_bits, data_s)
+        cw_bits = encode_bits(code, data_bits)
+        if channel == "bsc":
+            flips = jax.random.bernoulli(kn, param, cw_bits.shape)
+            rx = cw_bits ^ flips.astype(jnp.uint8)
+        else:
+            tx = 1.0 - 2.0 * cw_bits.astype(jnp.float32)
+            soft = tx + jax.random.normal(kn, tx.shape, jnp.float32) * param
+            rx = (soft < 0).astype(jnp.uint8)
+        # hard_to_llrs convention: bit 1 -> -1, bit 0 -> +1 (decoder.rs:488)
+        llrs = 1.0 - 2.0 * rx.astype(jnp.float32)
+        if mesh is not None:
+            llrs = jax.lax.with_sharding_constraint(llrs, data_s)
+        res = decoder(llrs)
+        data_hat = res.bits[:, : p.k]
+        bit_err = (data_hat != data_bits).sum(dtype=jnp.int32, axis=1)
         return ChannelStats(
             trials=jnp.asarray(batch, jnp.int32),
             bit_errors=bit_err.sum(dtype=jnp.int32),

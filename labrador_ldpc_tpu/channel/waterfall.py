@@ -146,7 +146,9 @@ def waterfall(
     bits have been simulated or `max_bit_errors` bit errors observed.
 
     `decoder` selects the decode surface: "ms" (default — soft channel,
-    AWGN on LLRs per `noise_model`) or "bf" (hard-decision bit-flip,
+    AWGN on LLRs per `noise_model`), "ms_hard" (min-sum on hard-sliced
+    channel output, the decode_ms side of the reference's BF-vs-MS
+    framing — channel/hard.py), or "bf" (hard-decision bit-flip,
     channel/hard.py): noise_model "bsc" treats the `snrs_db` values as raw
     flip probabilities p, while "perftest"/"ebn0" run the SAME AWGN
     channel as the ms sweep hard-sliced before decoding — so the measured
@@ -190,6 +192,16 @@ def waterfall(
 
         impl = resolve_bf_impl(code, impl)
         step = make_bf_trial_step(code, batch, maxiters, noise_model, impl, mesh)
+    elif decoder == "ms_hard":
+        # min-sum on hard-sliced channel output (+-1 LLRs): the decode_ms
+        # side of the reference's BF-vs-MS framing (channel/hard.py)
+        from .awgn import resolve_impl
+        from .hard import make_ms_hard_trial_step
+
+        impl = resolve_impl(code, "float32", impl)
+        step = make_ms_hard_trial_step(
+            code, batch, maxiters, noise_model, impl, mesh
+        )
     elif decoder == "ms":
         from .awgn import resolve_impl
 
@@ -198,7 +210,7 @@ def waterfall(
             code, batch, maxiters, dtype_name, alpha, impl, llr_scale, mesh
         )
     else:
-        raise ValueError(f"unknown decoder {decoder!r} (ms|bf)")
+        raise ValueError(f"unknown decoder {decoder!r} (ms|ms_hard|bf)")
     key = jax.random.PRNGKey(seed)
     ckpt = None
     splits_drained = 0
@@ -217,6 +229,7 @@ def waterfall(
                 "impl": impl,
                 "llr_scale": llr_scale,
                 "seed": seed,
+                "decoder": decoder,
             },
         )
         splits_drained = ckpt.splits

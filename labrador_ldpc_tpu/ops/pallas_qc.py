@@ -732,6 +732,7 @@ def make_ms_decoder_pallas_layered(
     alpha: float | None = None,
     batch_tile: int | None = None,
     interpret: bool = False,
+    subtiles: int = 1,
 ):
     """VMEM-resident ROW-LAYERED self-corrected min-sum Pallas kernel.
 
@@ -754,6 +755,16 @@ def make_ms_decoder_pallas_layered(
     extrinsics t', posteriors) in VMEM scratch for the tile's entire
     early-exiting while_loop; permutation shifts burned into the IR as
     static lane rolls. Iteration 0 is peeled (u = t' = 0 shortcuts).
+
+    `subtiles=S` (experiment knob, VERDICT r4 item 1 protocol) processes
+    S sequential batch_tile-wide sub-tiles inside ONE grid step: the grid
+    shrinks S-fold while per-sub-tile decode VMEM (scratch) stays
+    constant — scratch is REUSED across the S sub-tiles — so the config
+    isolates per-grid-step pipeline overhead from VMEM pressure (unlike a
+    2x batch_tile, whose scratch doubles and which measured 15% SLOWER).
+    Each sub-tile still runs its own early-exiting while_loop. Bit-exact
+    for any S (tests/test_pallas.py); production routes keep S=1 unless
+    the routing table says otherwise.
 
     Returns fn(llrs: (B, n) dtype) -> MSResult.
     """
@@ -798,6 +809,7 @@ def make_ms_decoder_pallas_layered(
     n, V = p.n, Cc * M
     sumA = sum(len(r) for r in s.rows)
     B = route.ms_batch_tile if batch_tile is None else batch_tile
+    S = max(1, int(subtiles))  # sequential sub-tiles per grid step
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
@@ -838,163 +850,170 @@ def make_ms_decoder_pallas_layered(
             for j, x in enumerate(parts):
                 ref[e, :, j * q : (j + 1) * q] = x.astype(dtype)
 
-        fdone_ref[...] = jnp.zeros((B, 1), f32)
-        fiters_ref[...] = jnp.full((B, 1), maxiters, jnp.int32)
-        frozen_ref[...] = jnp.zeros((B, V), i32)
-        # posteriors initialized ONCE: unlike flooding, the layered schedule
-        # carries va across iterations (qc_minsum.py make_ms_decoder_layered)
-        va_ref[:, :n] = llr_ref[...]
-        if V > n:  # punctured tail = 0 (decoder.rs:382-383)
-            va_ref[:, n:] = jnp.zeros((B, V - n), dtype)
+        def run_subtile(io):
+            """Decode one batch_tile-wide sub-tile of this grid
+            step's IO block; scratch (us/tps/va/frozen/...) is reused
+            across sub-tiles, so per-sub-tile VMEM is S-independent."""
+            fdone_ref[...] = jnp.zeros((B, 1), f32)
+            fiters_ref[...] = jnp.full((B, 1), maxiters, jnp.int32)
+            frozen_ref[...] = jnp.zeros((B, V), i32)
+            # posteriors initialized ONCE: unlike flooding, the layered schedule
+            # carries va across iterations (qc_minsum.py make_ms_decoder_layered)
+            va_ref[:, :n] = llr_ref[io]
+            if V > n:  # punctured tail = 0 (decoder.rs:382-383)
+                va_ref[:, n:] = jnp.zeros((B, V - n), dtype)
 
-        def one_iteration(it, first):
-            """One layered iteration; `first` (Python bool) peels iteration
-            0 where u = t' = 0: extrinsic t = posterior view, the
-            self-correction is vacuous (t' == 0 keeps), and the posterior
-            update adds u directly. Bit-exact vs the general body run on
-            zero state."""
-            for r, row in enumerate(s.rows):
-                # pass 1: extrinsics t = va - u with self-correction
-                ts = []
-                for a, perm in enumerate(row):
-                    e = row_off[r] + a
-                    g = fwd_parts(vparts(perm.col * M), perm)
-                    if first:
-                        t = g
-                    else:
-                        t = [gi - ui for gi, ui in zip(g, eparts(us_ref, e))]
-                        if is_int:  # saturating sub (decoder.rs:46-48)
-                            t = [jnp.clip(x, sat_lo, sat_hi) for x in t]
-                        # self-correction (decoder.rs:420-426)
-                        t = [
-                            jnp.where(
-                                jnp.logical_or((x < 0.0) == (tp < 0.0), tp == 0.0),
-                                x, 0.0,
+            def one_iteration(it, first):
+                """One layered iteration; `first` (Python bool) peels iteration
+                0 where u = t' = 0: extrinsic t = posterior view, the
+                self-correction is vacuous (t' == 0 keeps), and the posterior
+                update adds u directly. Bit-exact vs the general body run on
+                zero state."""
+                for r, row in enumerate(s.rows):
+                    # pass 1: extrinsics t = va - u with self-correction
+                    ts = []
+                    for a, perm in enumerate(row):
+                        e = row_off[r] + a
+                        g = fwd_parts(vparts(perm.col * M), perm)
+                        if first:
+                            t = g
+                        else:
+                            t = [gi - ui for gi, ui in zip(g, eparts(us_ref, e))]
+                            if is_int:  # saturating sub (decoder.rs:46-48)
+                                t = [jnp.clip(x, sat_lo, sat_hi) for x in t]
+                            # self-correction (decoder.rs:420-426)
+                            t = [
+                                jnp.where(
+                                    jnp.logical_or((x < 0.0) == (tp < 0.0), tp == 0.0),
+                                    x, 0.0,
+                                )
+                                for x, tp in zip(t, eparts(tps_ref, e))
+                            ]
+                        ts.append(t)
+                    # two smallest |t| + sign product across the layer's addends.
+                    # The sign product is an exact boolean: accumulate it as an
+                    # i1 XOR chain instead of float adds + a mod-2 (saves the
+                    # bool->f32 casts and the mul/floor/sub chain per layer —
+                    # identical value, Mosaic-census-driven, STATUS.md roofline).
+                    # Parts never interact: P independent chains.
+                    big0 = sat_hi if is_int else BIG
+                    m1 = [jnp.full((B, q), big0, f32) for _ in range(P)]
+                    m2 = [
+                        jnp.full((B, q), sat_hi, f32) if is_int
+                        else jnp.zeros((B, q), f32)
+                        for _ in range(P)
+                    ]
+                    sgb = [jnp.zeros((B, q), jnp.bool_) for _ in range(P)]
+                    a1s = []
+                    for t in ts:
+                        if is_int:  # saturating abs: |-128| -> 127
+                            a1 = [jnp.minimum(jnp.abs(x), sat_hi) for x in t]
+                        else:
+                            a1 = [jnp.abs(x.astype(dtype).astype(f32)) for x in t]
+                        a1s.append(a1)
+                        for j in range(P):
+                            is_new = a1[j] < m1[j]
+                            m2[j] = jnp.where(is_new, m1[j], jnp.minimum(m2[j], a1[j]))
+                            m1[j] = jnp.minimum(m1[j], a1[j])
+                            sgb[j] = jnp.logical_xor(sgb[j], t[j] < 0.0)
+                    # pass 2: new u; posterior update va += perm_inv(u - u_old)
+                    for a, perm in enumerate(row):
+                        e = row_off[r] + a
+                        c0 = perm.col * M
+                        t = ts[a]
+                        u = []
+                        for j in range(P):
+                            mag = jnp.where(a1s[a][j] == m1[j], m2[j], m1[j])
+                            if alpha_c is not None:
+                                mag = alpha_c * mag
+                            neg = jnp.logical_xor(sgb[j], t[j] < 0.0)
+                            u.append(jnp.where(neg, -mag, mag))
+                        if first:
+                            du = u
+                        else:
+                            du = [ui - uo for ui, uo in zip(u, eparts(us_ref, e))]
+                        # the int posterior accumulator stays WIDE — only
+                        # messages saturate (qc_minsum.py make_ms_decoder_layered
+                        # docstring; bounded by (1+deg)*HI, exact in f32)
+                        dv = inv_parts(du, perm)
+                        for j in range(P):
+                            va_ref[:, c0 + j * q : c0 + (j + 1) * q] += dv[j].astype(
+                                dtype
                             )
-                            for x, tp in zip(t, eparts(tps_ref, e))
-                        ]
-                    ts.append(t)
-                # two smallest |t| + sign product across the layer's addends.
-                # The sign product is an exact boolean: accumulate it as an
-                # i1 XOR chain instead of float adds + a mod-2 (saves the
-                # bool->f32 casts and the mul/floor/sub chain per layer —
-                # identical value, Mosaic-census-driven, STATUS.md roofline).
-                # Parts never interact: P independent chains.
-                big0 = sat_hi if is_int else BIG
-                m1 = [jnp.full((B, q), big0, f32) for _ in range(P)]
-                m2 = [
-                    jnp.full((B, q), sat_hi, f32) if is_int
-                    else jnp.zeros((B, q), f32)
-                    for _ in range(P)
+                        weparts(us_ref, e, u)
+                        weparts(tps_ref, e, t)
+                # end-of-iteration syndrome over the FINAL posteriors (per-layer
+                # parities taken mid-sweep are stale — qc_minsum.py layered).
+                # Sign planes as i32 0/1 (rolls are bit-pattern moves; i32 skips
+                # the sitofp) with i1-XOR parity accumulation; one f32 convert
+                # per part only for the lane reduction.
+                sign_parts = [
+                    [
+                        (va_ref[:, c * M + j * q : c * M + (j + 1) * q].astype(f32)
+                         < 0.0).astype(i32)
+                        for j in range(P)
+                    ]
+                    for c in range(Cc)
                 ]
-                sgb = [jnp.zeros((B, q), jnp.bool_) for _ in range(P)]
-                a1s = []
-                for t in ts:
-                    if is_int:  # saturating abs: |-128| -> 127
-                        a1 = [jnp.minimum(jnp.abs(x), sat_hi) for x in t]
-                    else:
-                        a1 = [jnp.abs(x.astype(dtype).astype(f32)) for x in t]
-                    a1s.append(a1)
+                ok = jnp.ones((B, 1), f32)
+                for r, row in enumerate(s.rows):
+                    par = None
+                    for perm in row:
+                        g = fwd_parts(sign_parts[perm.col], perm)
+                        par = g if par is None else [x ^ y for x, y in zip(par, g)]
+                    for x in par:
+                        parf = x.astype(f32)  # exact 0/1
+                        ok = ok * jnp.min(1.0 - parf, axis=1, keepdims=True)
+                # ---- freeze converged codewords at this iteration ----
+                done = fdone_ref[...]
+                newly = ok * (1.0 - done)
+                for c in range(Cc):  # reuse the syndrome's sign planes
                     for j in range(P):
-                        is_new = a1[j] < m1[j]
-                        m2[j] = jnp.where(is_new, m1[j], jnp.minimum(m2[j], a1[j]))
-                        m1[j] = jnp.minimum(m1[j], a1[j])
-                        sgb[j] = jnp.logical_xor(sgb[j], t[j] < 0.0)
-                # pass 2: new u; posterior update va += perm_inv(u - u_old)
-                for a, perm in enumerate(row):
-                    e = row_off[r] + a
-                    c0 = perm.col * M
-                    t = ts[a]
-                    u = []
-                    for j in range(P):
-                        mag = jnp.where(a1s[a][j] == m1[j], m2[j], m1[j])
-                        if alpha_c is not None:
-                            mag = alpha_c * mag
-                        neg = jnp.logical_xor(sgb[j], t[j] < 0.0)
-                        u.append(jnp.where(neg, -mag, mag))
-                    if first:
-                        du = u
-                    else:
-                        du = [ui - uo for ui, uo in zip(u, eparts(us_ref, e))]
-                    # the int posterior accumulator stays WIDE — only
-                    # messages saturate (qc_minsum.py make_ms_decoder_layered
-                    # docstring; bounded by (1+deg)*HI, exact in f32)
-                    dv = inv_parts(du, perm)
-                    for j in range(P):
-                        va_ref[:, c0 + j * q : c0 + (j + 1) * q] += dv[j].astype(
-                            dtype
+                        sl = slice(c * M + j * q, c * M + (j + 1) * q)
+                        frozen_ref[:, sl] = jnp.where(
+                            newly > 0.0, sign_parts[c][j], frozen_ref[:, sl]
                         )
-                    weparts(us_ref, e, u)
-                    weparts(tps_ref, e, t)
-            # end-of-iteration syndrome over the FINAL posteriors (per-layer
-            # parities taken mid-sweep are stale — qc_minsum.py layered).
-            # Sign planes as i32 0/1 (rolls are bit-pattern moves; i32 skips
-            # the sitofp) with i1-XOR parity accumulation; one f32 convert
-            # per part only for the lane reduction.
-            sign_parts = [
-                [
-                    (va_ref[:, c * M + j * q : c * M + (j + 1) * q].astype(f32)
-                     < 0.0).astype(i32)
-                    for j in range(P)
-                ]
-                for c in range(Cc)
-            ]
-            ok = jnp.ones((B, 1), f32)
-            for r, row in enumerate(s.rows):
-                par = None
-                for perm in row:
-                    g = fwd_parts(sign_parts[perm.col], perm)
-                    par = g if par is None else [x ^ y for x, y in zip(par, g)]
-                for x in par:
-                    parf = x.astype(f32)  # exact 0/1
-                    ok = ok * jnp.min(1.0 - parf, axis=1, keepdims=True)
-            # ---- freeze converged codewords at this iteration ----
+                fiters_ref[...] = jnp.where(
+                    newly > 0.0, jnp.full((B, 1), 1, jnp.int32) * it, fiters_ref[...]
+                )
+                done = jnp.maximum(done, ok)
+                fdone_ref[...] = done
+                return done
+
+            done0 = one_iteration(jnp.int32(0), True)
+
+            def iter_body(carry):
+                it, _cont = carry
+                done = one_iteration(it, False)
+                cont = jnp.logical_and(it + 1 < maxiters, jnp.min(done) < 1.0)
+                return (it + 1, cont)
+
+            cont0 = jnp.logical_and(1 < maxiters, jnp.min(done0) < 1.0)
+            jax.lax.while_loop(lambda c: c[1], iter_body, (jnp.int32(1), cont0))
             done = fdone_ref[...]
-            newly = ok * (1.0 - done)
-            for c in range(Cc):  # reuse the syndrome's sign planes
-                for j in range(P):
-                    sl = slice(c * M + j * q, c * M + (j + 1) * q)
-                    frozen_ref[:, sl] = jnp.where(
-                        newly > 0.0, sign_parts[c][j], frozen_ref[:, sl]
-                    )
-            fiters_ref[...] = jnp.where(
-                newly > 0.0, jnp.full((B, 1), 1, jnp.int32) * it, fiters_ref[...]
-            )
-            done = jnp.maximum(done, ok)
-            fdone_ref[...] = done
-            return done
+            signs = (va_ref[...].astype(f32) < 0.0).astype(i32)
+            # values are exactly 0/1 i32: compare-then-cast (bool -> u8)
+            bits_ref[io] = (
+                jnp.where(done > 0.0, frozen_ref[...], signs) > 0
+            ).astype(jnp.uint8)
+            done_ref[io] = done
+            iters_ref[io] = fiters_ref[...]
 
-        done0 = one_iteration(jnp.int32(0), True)
-
-        def iter_body(carry):
-            it, _cont = carry
-            done = one_iteration(it, False)
-            cont = jnp.logical_and(it + 1 < maxiters, jnp.min(done) < 1.0)
-            return (it + 1, cont)
-
-        cont0 = jnp.logical_and(1 < maxiters, jnp.min(done0) < 1.0)
-        jax.lax.while_loop(lambda c: c[1], iter_body, (jnp.int32(1), cont0))
-        done = fdone_ref[...]
-        signs = (va_ref[...].astype(f32) < 0.0).astype(i32)
-        # values are exactly 0/1 i32: compare-then-cast (bool -> u8)
-        bits_ref[...] = (
-            jnp.where(done > 0.0, frozen_ref[...], signs) > 0
-        ).astype(jnp.uint8)
-        done_ref[...] = done
-        iters_ref[...] = fiters_ref[...]
+        for _si in range(S):
+            run_subtile(slice(_si * B, (_si + 1) * B))
 
     @functools.lru_cache(maxsize=8)
     def build(batch: int):
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(batch // B,),
+            grid=(batch // (S * B),),
             in_specs=[
-                pl.BlockSpec((B, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((S * B, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
             ],
             out_specs=[
-                pl.BlockSpec((B, V), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((S * B, V), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((S * B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((S * B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             # shapes sourced from sizes.py — the memory-table single source
             # of truth (sizes.ms_layered_scratch_specs docstring)
@@ -1024,7 +1043,7 @@ def make_ms_decoder_pallas_layered(
         llrs = jnp.asarray(llrs, dtype)
         assert llrs.ndim == 2 and llrs.shape[1] == n, f"llrs must be (B, {n})"
         batch = llrs.shape[0]
-        pad = (-batch) % B
+        pad = (-batch) % (S * B)
         if pad:
             llrs = jnp.concatenate([llrs, jnp.ones((pad, n), dtype)], axis=0)
         bits_u8, done_f, iters = build(batch + pad)(llrs)

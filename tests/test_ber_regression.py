@@ -305,3 +305,54 @@ def test_oracle_layered_crosscheck_agreement(dtype, tpu_csv):
     )
     ratio = (o["bit_errors"] / o["bits"]) / (t["bit_errors"] / t["bits"])
     assert 0.8 < ratio < 1.25, f"BER ratio oracle/TPU = {ratio:.3f}"
+
+
+BF_BSC_CSV = ANCHOR_CSV.with_name("waterfall_bf_tc512_bsc.csv")
+
+
+def _bf_curve_rows(path=BF_BSC_CSV):
+    out = {}
+    with open(path) as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            code, x, trials, bits, bit_errs, ber, fe, fer = row
+            out[(code, float(x))] = dict(
+                trials=int(trials), bits=int(bits), bit_errors=int(bit_errs),
+                frame_errors=int(fe),
+            )
+    return out
+
+
+def test_bf_ber_anchor_bsc():
+    """The hard-decision surface's statistical CI gate (VERDICT r4
+    item 2): the TC512 BSC(p=0.03) point was measured on real TPU with
+    the fused Pallas bf kernel (tools/gen_bf_curves.py, ~4.1e-2 FER);
+    rerun here at reduced budget through the XLA QC bf decoder — pinned
+    bit-exact to the kernel (tests/test_pallas_bf.py) — with an
+    independent seed. A decode_bf semantics regression (flip rule,
+    parity, erasure preprocessing) inflates frame errors far outside the
+    band; the counters are computed from real bit errors vs ground
+    truth, so fake-success bugs cannot deflate them."""
+    a = _bf_curve_rows()[("TC512", 0.03)]
+    ci_trials = 4096
+    expected_fe = a["frame_errors"] / a["trials"] * ci_trials
+    assert expected_fe >= 70
+
+    (pt,) = waterfall(
+        "TC512", [0.03],
+        batch=ci_trials,
+        maxiters=50,
+        max_bits=1,
+        max_bit_errors=10**9,
+        noise_model="bsc",
+        decoder="bf",
+        impl="qc",
+        seed=1,
+    )
+    assert pt.trials == ci_trials
+    lo, hi = expected_fe / BAND, expected_fe * BAND
+    assert lo <= pt.frame_errors <= hi, (
+        f"TC512 BSC(0.03) bf: {pt.frame_errors} frame errors vs expected "
+        f"{expected_fe:.0f} [{lo:.0f}, {hi:.0f}] — decode_bf BER regressed"
+    )

@@ -391,3 +391,39 @@ def test_pallas_layered_int8_saturation_corners():
     np.testing.assert_array_equal(np.asarray(r_p.success), np.asarray(r_l.success))
     np.testing.assert_array_equal(np.asarray(r_p.iterations),
                                   np.asarray(r_l.iterations))
+
+
+def test_pallas_layered_subtiles_bit_exact():
+    """subtiles=S (the VERDICT r4 item 1 grid-step experiment knob): S
+    sequential sub-tiles per grid step with scratch reused — must be
+    bit-exact vs S=1 (bits/success/iterations), including the padding
+    path when batch is not a multiple of S*batch_tile."""
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+
+    code = get_code("TM2048")
+    rng = np.random.default_rng(7)
+    B = 8
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    bits = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * bits.astype(np.float64)
+    soft = (tx + rng.normal(0.0, 0.8, tx.shape)).astype(np.float32)
+    r1 = make_ms_decoder_pallas_layered(
+        code, jnp.float32, maxiters=8, batch_tile=2, interpret=True
+    )(jnp.asarray(soft))
+    for S in (2, 4):
+        rS = make_ms_decoder_pallas_layered(
+            code, jnp.float32, maxiters=8, batch_tile=2, interpret=True,
+            subtiles=S,
+        )(jnp.asarray(soft))
+        np.testing.assert_array_equal(np.asarray(r1.bits), np.asarray(rS.bits))
+        np.testing.assert_array_equal(
+            np.asarray(r1.success), np.asarray(rS.success)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r1.iterations), np.asarray(rS.iterations)
+        )
+    # padding: 6 rows through an S*bt=4-row grid block
+    r3 = make_ms_decoder_pallas_layered(
+        code, jnp.float32, maxiters=8, batch_tile=2, interpret=True, subtiles=2
+    )(jnp.asarray(soft[:6]))
+    np.testing.assert_array_equal(np.asarray(r1.bits)[:6], np.asarray(r3.bits))

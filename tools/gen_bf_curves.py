@@ -1,0 +1,186 @@
+"""Generate the stored bit-flip statistical curves (VERDICT r4 item 2).
+
+Runs on the real TPU (fused Pallas bf kernels, impl=auto):
+
+  1. BSC(p) FER/BER curves for TC512 + TM8192 — the canonical hard
+     channel, sweeping flip probability p.
+  2. AWGN hard-decision (ebn0) FER curves for the same codes — the SAME
+     physical channel as the stored min-sum ebn0 curves, hard-sliced, so
+     the BF-vs-MS gap is a horizontal dB read between FER curves.
+  3. A min-sum ebn0 reference curve for TC512 (TM8192's already exists:
+     waterfall_tm8192_ebn0_pallas_layered_f32.csv).
+
+Then prints the measured ΔdB at FER 1e-4 / 1e-3 (log-linear
+interpolation in dB), quantifying the reference's qualitative claim
+("between one and two dB worse ... a few times quicker",
+/root/reference/src/lib.rs:165-172) for the CCSDS codes — on top of the
+~2 dB the hard decision itself costs.
+
+Usage: python tools/gen_bf_curves.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+RESULTS = Path(__file__).resolve().parents[1] / "benchmarks" / "results"
+
+HEADER = (
+    "# {title}\n"
+    "# tools/gen_bf_curves.py on real TPU; decoder={decoder} impl=auto\n"
+    "# (fused Pallas kernels), maxiters={maxiters}, batch=8192, seed 0.\n"
+    "# Columns: code,{xname},trials,data_bits,bit_errors,ber,frame_errors,fer\n"
+)
+
+
+def run_curve(code, xs, trials_per_point, decoder, noise_model, maxiters, out,
+              title, xname):
+    from labrador_ldpc_tpu.channel.waterfall import waterfall
+
+    batch = 8192
+    rows = []
+    for x, tp in zip(xs, trials_per_point):
+        k = {"TC512": 256, "TM8192": 4096}[code]
+        pts = waterfall(
+            code, [x], batch=batch, maxiters=maxiters,
+            max_bits=tp * k, max_bit_errors=10**9,
+            noise_model=noise_model, decoder=decoder, seed=0, verbose=True,
+        )
+        p = pts[0]
+        rows.append(
+            f"{code},{x},{p.trials},{p.bits},{p.bit_errors},{p.ber:.6e},"
+            f"{p.frame_errors},{p.fer:.6e}"
+        )
+    out.write_text(
+        HEADER.format(title=title, decoder=decoder, maxiters=maxiters,
+                      xname=xname)
+        + "\n".join(rows) + "\n"
+    )
+    print(f"wrote {len(rows)} points to {out}", flush=True)
+
+
+def read_fer(path):
+    pts = []
+    for line in path.read_text().splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        f = line.split(",")
+        pts.append((float(f[1]), float(f[7])))
+    return pts
+
+
+def db_at_fer(pts, target):
+    """log-linear interpolation of the dB (or p) where FER crosses target."""
+    pts = sorted(pts)
+    for (x0, f0), (x1, f1) in zip(pts, pts[1:]):
+        if f0 >= target >= f1 and f0 > 0 and f1 > 0:
+            t = (math.log(target) - math.log(f0)) / (math.log(f1) - math.log(f0))
+            return x0 + t * (x1 - x0)
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="coarse grids, 8192 trials/point")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on the output csv name")
+    args = ap.parse_args()
+
+    deep = 0 if args.quick else 1
+    T = 8192  # one batch
+    # trial budgets: more where FER is small (knee targets >= ~60 FE)
+    jobs = [
+        # BSC(p) on the fused kernels
+        ("TC512", [0.005, 0.01, 0.015, 0.02, 0.025, 0.03, 0.04],
+         [T * (64 if deep else 1), T * (16 if deep else 1),
+          T * (8 if deep else 1), T * (4 if deep else 1), T * 2, T, T],
+         "bf", "bsc", 50, RESULTS / "waterfall_bf_tc512_bsc.csv",
+         "Bit-flip FER/BER vs BSC flip probability p, TC512", "p"),
+        ("TM8192", [0.001, 0.0015, 0.002, 0.003, 0.004, 0.005, 0.006],
+         [T * (96 if deep else 1), T * (48 if deep else 1),
+          T * (24 if deep else 1), T * (4 if deep else 1), T * 2, T, T],
+         "bf", "bsc", 50, RESULTS / "waterfall_bf_tm8192_bsc.csv",
+         "Bit-flip FER/BER vs BSC flip probability p, TM8192", "p"),
+        # AWGN hard-decision, ebn0 axis (the ms-comparable curves)
+        ("TC512", [3.0, 3.5, 4.0, 4.5, 5.0, 5.5, 6.0, 6.5, 7.0, 7.5],
+         [T, T, T, T, T * 2, T * (4 if deep else 1),
+          T * (16 if deep else 1), T * (48 if deep else 1),
+          T * (96 if deep else 1), T * (192 if deep else 1)],
+         "bf", "ebn0", 50, RESULTS / "waterfall_bf_tc512_ebn0.csv",
+         "Bit-flip FER vs Eb/N0 (AWGN hard-decision), TC512", "ebn0_db"),
+        ("TM8192", [4.0, 5.0, 6.0, 6.5, 7.0, 7.5, 8.0, 8.5, 9.0, 9.5],
+         [T, T, T, T, T * 2, T * 2, T * (4 if deep else 1),
+          T * (8 if deep else 1), T * (24 if deep else 1),
+          T * (96 if deep else 1)],
+         "bf", "ebn0", 50, RESULTS / "waterfall_bf_tm8192_ebn0.csv",
+         "Bit-flip FER vs Eb/N0 (AWGN hard-decision), TM8192", "ebn0_db"),
+        # min-sum ebn0 references (soft channel, same dB axis, with FER —
+        # the stored deep curves use the 6-column perftest schema)
+        ("TC512", [1.0, 1.5, 2.0, 2.5, 3.0, 3.5],
+         [T, T, T * 2, T * (8 if deep else 1), T * (48 if deep else 1),
+          T * (96 if deep else 1)],
+         "ms", "ebn0", 100, RESULTS / "waterfall_ms_tc512_ebn0.csv",
+         "Min-sum f32 FER vs Eb/N0 (soft), TC512 (pallas_layered)", "ebn0_db"),
+        ("TM8192", [1.0, 1.1, 1.2, 1.3, 1.4],
+         [T, T, T * 2, T * (16 if deep else 1), T * (96 if deep else 1)],
+         "ms", "ebn0", 100, RESULTS / "waterfall_ms_tm8192_ebn0.csv",
+         "Min-sum f32 FER vs Eb/N0 (soft), TM8192 (pallas_layered)", "ebn0_db"),
+        # min-sum on HARD-sliced channel output: the decode_ms side of the
+        # reference's own BF-vs-MS framing (both decoders over
+        # hard_to_llrs input, src/lib.rs:160-172); bf minus THIS curve is
+        # the algorithmic gap with the soft-info loss separated out
+        ("TC512", [3.5, 4.0, 4.25, 4.5, 4.75, 5.0, 5.25],
+         [T, T, T, T * 2, T * (8 if deep else 1), T * (24 if deep else 1),
+          T * (96 if deep else 1)],
+         "ms_hard", "ebn0", 100, RESULTS / "waterfall_mshard_tc512_ebn0.csv",
+         "Min-sum f32 FER vs Eb/N0 (hard-decision input), TC512", "ebn0_db"),
+        ("TM8192", [2.5, 2.6, 2.7, 2.8, 2.9, 3.0],
+         [T, T, T, T * 2, T * (8 if deep else 1), T * (48 if deep else 1)],
+         "ms_hard", "ebn0", 100, RESULTS / "waterfall_mshard_tm8192_ebn0.csv",
+         "Min-sum f32 FER vs Eb/N0 (hard-decision input), TM8192", "ebn0_db"),
+    ]
+    for job in jobs:
+        if args.only and args.only not in str(job[6]):
+            continue
+        run_curve(*job)
+
+    print("\n=== BF-vs-MS gap (AWGN, equal Eb/N0 axis) ===")
+    for code in ("TC512", "TM8192"):
+        bf_pts = read_fer(RESULTS / f"waterfall_bf_{code.lower()}_ebn0.csv")
+        ms_pts = read_fer(RESULTS / f"waterfall_ms_{code.lower()}_ebn0.csv")
+        mh_csv = RESULTS / f"waterfall_mshard_{code.lower()}_ebn0.csv"
+        mh_pts = read_fer(mh_csv) if mh_csv.exists() else []
+        for target in (1e-3, 1e-4):
+            b = db_at_fer(bf_pts, target)
+            m = db_at_fer(ms_pts, target)
+            h = db_at_fer(mh_pts, target)
+            if b is not None and m is not None:
+                print(f"{code}: FER {target:g} at bf {b:.2f} dB vs ms "
+                      f"{m:.2f} dB -> Δ(total) = {b - m:.2f} dB")
+                if h is not None:
+                    # decomposition: bf - ms_hard is the ALGORITHMIC gap
+                    # (the reference's "one to two dB" claim,
+                    # src/lib.rs:165-172); ms_hard - ms is the
+                    # soft-information loss of the hard slice
+                    print(f"{code}:   = algorithmic (bf - ms_hard) "
+                          f"{b - h:.2f} dB + hard-slice (ms_hard - ms) "
+                          f"{h - m:.2f} dB")
+            else:
+                print(f"{code}: FER {target:g} not bracketed "
+                      f"(bf={b}, ms={m}, ms_hard={h})")
+
+
+if __name__ == "__main__":
+    main()
