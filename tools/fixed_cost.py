@@ -1,20 +1,28 @@
 """Per-dispatch fixed-cost breakdown for the TM8192 headline kernel
 (pallas_layered f32, B=16384) — VERDICT r3 item 6's instrument.
 
-Method: pure-noise LLRs never converge, so decode time at maxiters=m is
+*** SUPERSEDED (round 5) by tools/grid_step_cost.py — read this first ***
+This instrument's round-4 result (fixed = 3.10 ms/batch, of which
+~1.7 ms was attributed to "6-7 us x 256 grid steps") was a MEASUREMENT
+ARTIFACT: `_timeit` AMORTIZES the ~30 ms tunnel round trip over
+PIPELINE=8 dispatches (it is documented as a conservative lower bound on
+rate), which adds a constant ~3-4 ms to every per-dispatch time and was
+read back here as device-side "fixed cost". The round-5 instrument
+times trains of {8,16,24,32} dispatches and takes the least-squares
+SLOPE (cancelling the round trip entirely, the bench.py protocol);
+measured this way the device-marginal fixed cost is ZERO within noise
+(|fixed| <= 0.06 ms across subtiles S in {1,2,4}; per_iter 3.17-3.28 ms)
+and shrinking the grid 2x/4x at constant per-sub-tile VMEM
+(make_ms_decoder_pallas_layered(subtiles=S)) does NOT help the headline
+(-7%/-1%) — there was no per-grid-step overhead to harvest; input/output
+DMA overlaps compute in the pipelined stream. The headline batch is
+~3.06 iteration-equivalents of pure loop work. Numbers in STATUS.md.
+
+Method (kept for reference): pure-noise LLRs never converge, so decode
+time at maxiters=m is
   t(m) = fixed + m * per_iter        (iteration 0 is peeled; m >= 1)
 A least-squares fit over m in {1,2,4,8} separates the per-iteration loop
-cost from everything else: input LLR DMA (512 MB), output bits DMA
-(172 MB uint8), scratch init, final sign/freeze epilogue, and per-grid-
-step pipeline overhead. All timing uses the suite's pipelined honest-
-fetch protocol (benchmarks/bench_suite._timeit) to cancel the ~30 ms
-tunnel round trip.
-
-Round-4 result (recorded in STATUS.md): fixed = 3.10 ms/batch ~= 0.97
-iteration-equivalents (per_iter = 3.19 ms); DMA accounts for 0.86 ms,
-init/epilogue sweeps ~0.5 ms, the rest is per-grid-step overhead at
-bt=64 x 256 steps (larger tiles measured slower end-to-end, so the
-floor stands; in-kernel bit packing bounds at ~1.9% and was rejected).
+cost from everything else.
 
 Usage: PYTHONPATH=. python tools/fixed_cost.py   (one TPU process only)
 """

@@ -54,10 +54,12 @@ N = 8192
 V = 10240
 
 
-def timed_per_dispatch(fn, arg, sync, k=16, reps=3):
-    """Pipelined slope timing: k and k/2 dispatch trains, best of reps;
-    per-dispatch = (t(k) - t(k/2)) / (k/2) — the constant sync/tunnel
-    round trip cancels in the difference (bench.py protocol)."""
+def timed_per_dispatch(fn, arg, sync, k=64, reps=3):
+    """Pipelined slope timing (bench.py protocol): trains of k/4, k/2,
+    3k/4, k dispatches, best of reps each; per-dispatch = least-squares
+    SLOPE of time vs count — the constant sync/tunnel round trip cancels
+    in the fit and four points average out per-train jitter (a two-point
+    difference measured NEGATIVE values for ~1 ms dispatches here)."""
 
     def train(count):
         best = float("inf")
@@ -69,8 +71,12 @@ def timed_per_dispatch(fn, arg, sync, k=16, reps=3):
             del outs
         return best
 
-    t_half, t_full = train(k // 2), train(k)
-    return (t_full - t_half) / (k // 2)
+    ks = sorted({max(1, k * i // 4) for i in (1, 2, 3, 4)})
+    ts = [train(c) for c in ks]
+    xs = np.asarray(ks, np.float64)
+    ys = np.asarray(ts, np.float64)
+    return float(((xs - xs.mean()) * (ys - ys.mean())).sum()
+                 / ((xs - xs.mean()) ** 2).sum())
 
 
 def minimal_kernel_scan(bts):
@@ -170,7 +176,7 @@ def real_kernel_scan(subtiles_list, quick=False):
         res = dec(llrs_flip)
         assert bool(np.asarray(res.success).all()), f"S={S} must converge"
         sec = timed_per_dispatch(dec, llrs_flip,
-                                 lambda o: np.asarray(o.success))
+                                 lambda o: np.asarray(o.success), k=32)
         print(json.dumps({
             "experiment": "headline_3flip",
             "subtiles": S,
@@ -189,7 +195,8 @@ def real_kernel_scan(subtiles_list, quick=False):
             r = d(noise)
             jax.block_until_ready(r.bits)
             ts.append(timed_per_dispatch(d, noise,
-                                         lambda o: np.asarray(o.success)))
+                                         lambda o: np.asarray(o.success),
+                                         k=32))
         xs = np.array(ms_list, np.float64)
         ys = np.array(ts, np.float64)
         slope = float(((xs - xs.mean()) * (ys - ys.mean())).sum()
