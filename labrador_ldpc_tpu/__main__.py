@@ -26,8 +26,10 @@ def _cmd_waterfall(args) -> int:
                 "error: --decoder bf takes --impl auto|pallas|qc|gather"
             )
     else:
-        if args.noise_model == "bsc":
-            raise SystemExit("error: --noise-model bsc requires --decoder bf")
+        if args.noise_model in ("bsc", "bec"):
+            raise SystemExit(
+                f"error: --noise-model {args.noise_model} requires --decoder bf"
+            )
         if args.impl in ("pallas", "gather"):
             raise SystemExit(f"error: --impl {args.impl} requires --decoder bf")
         if args.impl == "qc_i8" and args.dtype != "int8":
@@ -99,11 +101,12 @@ def main(argv=None) -> int:
     w.add_argument("--maxiters", type=int, default=100)  # perftest uses 100
     w.add_argument("--max-bits", type=int, default=50_000_000)
     w.add_argument("--max-bit-errors", type=int, default=5_000)
-    w.add_argument("--noise-model", choices=["perftest", "ebn0", "bsc"],
+    w.add_argument("--noise-model",
+                   choices=["perftest", "ebn0", "bsc", "bec"],
                    default="perftest",
-                   help="soft-noise convention, or 'bsc' (hard channel, "
-                        "--decoder bf only: --snrs values are flip "
-                        "probabilities p, not dB)")
+                   help="soft-noise convention, or a hard channel "
+                        "('bsc' flips / 'bec' erases-to-0, --decoder bf "
+                        "only: --snrs values are probabilities, not dB)")
     w.add_argument("--decoder", choices=["ms", "bf"], default="ms",
                    help="decode surface: min-sum (soft) or bit-flip "
                         "(hard-decision; channel/hard.py)")

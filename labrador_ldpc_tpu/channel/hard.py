@@ -90,8 +90,10 @@ def make_bf_trial_step(
     """
     code = get_code(code)
     p = code.params
-    if channel not in ("bsc", "perftest", "ebn0"):
-        raise ValueError(f"unknown hard channel {channel!r} (bsc|perftest|ebn0)")
+    if channel not in ("bsc", "bec", "perftest", "ebn0"):
+        raise ValueError(
+            f"unknown hard channel {channel!r} (bsc|bec|perftest|ebn0)"
+        )
     impl = resolve_bf_impl(code, impl)
     decoder = _make_bf_decoder(code, maxiters, impl)
     if mesh is not None:
@@ -112,6 +114,16 @@ def make_bf_trial_step(
         if channel == "bsc":
             flips = jax.random.bernoulli(kn, param, cw_bits.shape)
             rx = cw_bits ^ flips.astype(jnp.uint8)
+        elif channel == "bec":
+            # binary ERASURE channel: each transmitted bit erased i.i.d.
+            # w.p. param; erased bits enter the decoder as 0 — the
+            # reference's own convention for unresolved erasures
+            # (decoder.rs:167, residual bits left to the BF main loop) —
+            # so an erased 1-bit is an error for bit-flipping to fix and
+            # an erased 0-bit is free. The production punctured-tail
+            # erasure pass runs inside decode_bf on top of this.
+            er = jax.random.bernoulli(kn, param, cw_bits.shape)
+            rx = cw_bits * (1 - er.astype(jnp.uint8))
         else:
             # AWGN at sigma=param on BPSK +-1, then a hard slice: the
             # exact channel the ms waterfall uses (awgn.make_trial_step),

@@ -241,9 +241,10 @@ def waterfall(
     # check-before-launch loop exactly when the error budget never binds)
     n_steps_max = max(1, -(-max_bits // (batch * k)))
     for snr in snrs_db:
-        # "bsc" (hard channel, decoder="bf"): the sweep values ARE the
-        # flip probabilities; the soft models map dB -> sigma
-        sigma = snr if noise_model == "bsc" else noise_sigma(snr, code, noise_model)
+        # "bsc"/"bec" (hard channels, decoder="bf"): the sweep values ARE
+        # the flip/erasure probabilities; the soft models map dB -> sigma
+        sigma = (snr if noise_model in ("bsc", "bec")
+                 else noise_sigma(snr, code, noise_model))
         pt = SnrPoint(code=code.value, snr_db=snr)
         launched = 0
         elapsed0 = 0.0

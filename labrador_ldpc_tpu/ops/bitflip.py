@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..codes.params import LDPCCode, get_code
 from .minsum import _device_tables
 
-__all__ = ["make_bf_decoder", "make_bf_decoder_qc", "decode_bf", "BFResult", "decode_erasures_bits"]
+__all__ = ["make_bf_decoder", "make_bf_decoder_qc", "decode_bf", "BFResult", "decode_erasures_bits", "decode_erasures_mask"]
 
 
 class BFResult(NamedTuple):
@@ -117,6 +117,64 @@ def decode_erasures_bits(code: LDPCCode | str, bits: jnp.ndarray, maxiters: int 
             # codeword (reference quirk, decoder.rs:205-218) — one pass total
             break
     return success, iters, bits_t.T.astype(jnp.uint8)
+
+
+def decode_erasures_mask(code: LDPCCode | str, bits: jnp.ndarray,
+                         erased: jnp.ndarray, maxiters: int = 32):
+    """Generalized BEC erasure decoder over an EXPLICIT erasure mask.
+
+    The reference's erasure decoder hardwires the erased set to the
+    punctured tail (decoder.rs:167-169) and its accounting stops after
+    one pass (the bits_fixed quirk). This generalization — used for the
+    round-5 statistical erasure-channel validation (VERDICT r4 item 8),
+    not a reference-parity surface — accepts any per-bit erasure mask
+    (e.g. punctured tail + random channel erasures) and iterates the
+    exact voting rule (decoder.rs:172-213: checks with exactly one
+    erased neighbour vote parity+-1; majority-1 vars are set and
+    unmarked; majority-0/no-vote vars stay 0) to a fixpoint /
+    `maxiters`. Residual erased vars remain 0, matching the reference's
+    output behaviour.
+
+    bits/erased: (B, n+p). Returns (still_erased (B,) int32 counts,
+    iters (B,) int32 first-fixpoint pass index, bits (B, n+p) uint8).
+    """
+    code = get_code(code)
+    p = code.params
+    tabs = _device_tables(code)
+    Vn = p.n_vars
+    assert bits.shape[1] == Vn and erased.shape == bits.shape
+    # One-sidedness caveat (same as the reference): only majority-1 vars
+    # are ever fixed/unmarked, so a 0-valued erased var keeps its checks
+    # at ecount >= 1 and can block neighbours; the still_erased count
+    # therefore includes correctly-0 vars, and residual 1-errors are
+    # left to the bit-flip main loop exactly as in decode_bf. For
+    # end-to-end erasure-channel statistics use the "bec" channel of
+    # channel.hard.make_bf_trial_step (erased -> 0 -> decode_bf).
+
+    bits_t = jnp.asarray(bits, jnp.int32).T
+    erased_t = jnp.asarray(erased, bool).T
+    bits_t = jnp.where(erased_t, 0, bits_t)
+
+    def body(it, carry):
+        bits_t, erased_t, iters, fixed = carry
+        nb, ne = _erasure_pass(code, bits_t, erased_t, tabs)
+        # fixpoint per codeword: no erasure resolved in this pass
+        changed = (ne != erased_t).any(axis=0)
+        newly_fixed = jnp.logical_and(jnp.logical_not(changed),
+                                      jnp.logical_not(fixed))
+        iters = jnp.where(newly_fixed, it, iters)
+        fixed = jnp.logical_or(fixed, newly_fixed)
+        return nb, ne, iters, fixed
+
+    B = bits_t.shape[-1]
+    init = (bits_t, erased_t, jnp.full((B,), maxiters, jnp.int32),
+            jnp.zeros((B,), bool))
+    bits_t, erased_t, iters, _ = jax.lax.fori_loop(0, maxiters, body, init)
+    return (
+        erased_t.sum(axis=0, dtype=jnp.int32),
+        iters,
+        bits_t.T.astype(jnp.uint8),
+    )
 
 
 def make_bf_decoder(code: LDPCCode | str, maxiters: int = 20):

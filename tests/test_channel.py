@@ -370,3 +370,20 @@ def test_bf_waterfall_rejects_bad_configs():
         make_bf_trial_step("TC128", 8, channel="bsc", impl="layered")
     with pytest.raises(ValueError, match="ms|bf"):
         waterfall("TC128", [0.01], batch=8, decoder="sum-product")
+
+
+def test_bf_trial_step_bec_semantics():
+    """BEC channel: f=0 is clean (all decode, zero errors); erased-to-0
+    true-1 bits are errors for BF to fix — counters behave monotonically
+    and the punctured-tail erasure pass runs on top of channel erasures."""
+    from labrador_ldpc_tpu.channel.hard import make_bf_trial_step
+
+    step = make_bf_trial_step("TM1280", batch=64, maxiters=50,
+                              channel="bec", impl="qc")
+    key = jax.random.PRNGKey(21)
+    s0 = step(key, jnp.float32(0.0))
+    assert int(s0.bit_errors) == 0 and int(s0.frame_errors) == 0
+    s1 = step(key, jnp.float32(0.003))
+    s2 = step(key, jnp.float32(0.03))
+    assert int(s1.frame_errors) <= int(s2.frame_errors)
+    assert int(s2.frame_errors) > 0

@@ -345,3 +345,62 @@ def test_oracle_layered_int_bit_exact_vs_twin(name, dtype):
         assert ok == bool(ts[b]), (name, b)
         assert it == int(ti[b]), (name, b)
         np.testing.assert_array_equal(obits, tb[b])
+
+
+def test_decode_erasures_mask_tail_matches_reference_pass():
+    """decode_erasures_mask with the punctured-tail mask and maxiters=1 is
+    exactly the reference's single voting pass: bit-for-bit equal to
+    decode_erasures_bits (whose accounting quirk stops it after one pass,
+    decoder.rs:205-218)."""
+    from labrador_ldpc_tpu.ops.bitflip import (
+        decode_erasures_bits,
+        decode_erasures_mask,
+    )
+
+    code = get_code("TM1280")
+    pm = code.params
+    rng = np.random.default_rng(5)
+    B = 4
+    data = rng.integers(0, 2, (B, pm.k), dtype=np.uint8)
+    cw = np.asarray(encoder.encode_bits(code, jnp.asarray(data)))
+    full = np.zeros((B, pm.n_vars), np.uint8)
+    full[:, : pm.n] = cw
+    er = np.zeros((B, pm.n_vars), bool)
+    er[:, pm.n:] = True
+    _, _, b_ref = decode_erasures_bits(code, jnp.asarray(full))
+    _, _, b_mask = decode_erasures_mask(
+        code, jnp.asarray(full), jnp.asarray(er), maxiters=1
+    )
+    np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_mask))
+
+
+def test_decode_erasures_mask_random_one_sided():
+    """Random transmitted-bit erasures through the generalized pass: every
+    bit the pass RESOLVES to 1 must be a true 1 (the voting rule never
+    mis-sets a bit from clean surroundings at low erasure density), and
+    erased true-0 bits stay 0 (correct by the one-sided convention).
+    End-to-end erasure-channel statistics live in the BEC bf curves."""
+    from labrador_ldpc_tpu.ops.bitflip import decode_erasures_mask
+
+    code = get_code("TM1280")
+    pm = code.params
+    rng = np.random.default_rng(6)
+    B = 4
+    data = rng.integers(0, 2, (B, pm.k), dtype=np.uint8)
+    cw = np.asarray(encoder.encode_bits(code, jnp.asarray(data)))
+    full = np.zeros((B, pm.n_vars), np.uint8)
+    full[:, : pm.n] = cw
+    er = np.zeros((B, pm.n_vars), bool)
+    er[:, pm.n:] = True
+    for b in range(B):
+        er[b, rng.choice(pm.n, size=8, replace=False)] = True
+    left, _, rec = decode_erasures_mask(
+        code, jnp.asarray(full), jnp.asarray(er), maxiters=8
+    )
+    rec = np.asarray(rec)
+    # resolved-to-1 transmitted bits are true 1s
+    tx_er = er[:, : pm.n]
+    set_one = (rec[:, : pm.n] == 1) & tx_er
+    assert (cw[set_one] == 1).all()
+    # non-erased bits never change
+    np.testing.assert_array_equal(rec[:, : pm.n][~tx_er], cw[~tx_er])

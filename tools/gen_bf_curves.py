@@ -51,7 +51,7 @@ def run_curve(code, xs, trials_per_point, decoder, noise_model, maxiters, out,
     batch = 8192
     rows = []
     for x, tp in zip(xs, trials_per_point):
-        k = {"TC512": 256, "TM8192": 4096}[code]
+        k = {"TC512": 256, "TM1280": 1024, "TM8192": 4096}[code]
         pts = waterfall(
             code, [x], batch=batch, maxiters=maxiters,
             max_bits=tp * k, max_bit_errors=10**9,
@@ -137,6 +137,23 @@ def main():
          [T, T, T * 2, T * (16 if deep else 1), T * (96 if deep else 1)],
          "ms", "ebn0", 100, RESULTS / "waterfall_ms_tm8192_ebn0.csv",
          "Min-sum f32 FER vs Eb/N0 (soft), TM8192 (pallas_layered)", "ebn0_db"),
+        # BEC erasure-channel sweep on the production bf surface
+        # (VERDICT r4 item 8): each transmitted bit erased-to-0 i.i.d.
+        # w.p. f; the fused in-kernel erasure pass handles the punctured
+        # tail on top. Random erasure patterns statistically exercise
+        # the pass far beyond the fixed 3-flip protocol.
+        ("TM1280", [0.002, 0.004, 0.006, 0.008, 0.01, 0.015],
+         [T * (48 if deep else 1), T * (16 if deep else 1),
+          T * (4 if deep else 1), T * 2, T, T],
+         "bf", "bec", 50, RESULTS / "waterfall_bf_tm1280_bec.csv",
+         "Bit-flip FER/BER vs BEC erasure probability f, TM1280", "f"),
+        # BEC(f) behaves like BSC(f/2) for this decoder (erased true-0
+        # bits are free), so the TM8192 grid sits at 2x the BSC knee
+        ("TM8192", [0.002, 0.003, 0.004, 0.006, 0.008, 0.012],
+         [T * (96 if deep else 1), T * (48 if deep else 1),
+          T * (24 if deep else 1), T * (4 if deep else 1), T * 2, T],
+         "bf", "bec", 50, RESULTS / "waterfall_bf_tm8192_bec.csv",
+         "Bit-flip FER/BER vs BEC erasure probability f, TM8192", "f"),
         # min-sum on HARD-sliced channel output: the decode_ms side of the
         # reference's own BF-vs-MS framing (both decoders over
         # hard_to_llrs input, src/lib.rs:160-172); bf minus THIS curve is
