@@ -26,9 +26,12 @@ def _cmd_waterfall(args) -> int:
                 "error: --decoder bf takes --impl auto|pallas|qc|gather"
             )
     else:
-        if args.noise_model in ("bsc", "bec"):
+        if args.noise_model == "bec" or (
+            args.noise_model == "bsc" and args.decoder != "ms_hard"
+        ):
             raise SystemExit(
-                f"error: --noise-model {args.noise_model} requires --decoder bf"
+                f"error: --noise-model {args.noise_model} requires --decoder "
+                f"bf{' or ms_hard' if args.noise_model == 'bsc' else ''}"
             )
         if args.impl in ("pallas", "gather"):
             raise SystemExit(f"error: --impl {args.impl} requires --decoder bf")
@@ -107,9 +110,10 @@ def main(argv=None) -> int:
                    help="soft-noise convention, or a hard channel "
                         "('bsc' flips / 'bec' erases-to-0, --decoder bf "
                         "only: --snrs values are probabilities, not dB)")
-    w.add_argument("--decoder", choices=["ms", "bf"], default="ms",
-                   help="decode surface: min-sum (soft) or bit-flip "
-                        "(hard-decision; channel/hard.py)")
+    w.add_argument("--decoder", choices=["ms", "ms_hard", "bf"],
+                   default="ms",
+                   help="decode surface: min-sum (soft), min-sum on "
+                        "hard-sliced input, or bit-flip (channel/hard.py)")
     w.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16", "float64", "int8", "int16", "int32"])
     w.add_argument("--alpha", type=float, default=None, help="normalized min-sum factor")

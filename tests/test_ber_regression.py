@@ -356,3 +356,54 @@ def test_bf_ber_anchor_bsc():
         f"TC512 BSC(0.03) bf: {pt.frame_errors} frame errors vs expected "
         f"{expected_fe:.0f} [{lo:.0f}, {hi:.0f}] — decode_bf BER regressed"
     )
+
+
+GAP_TABLE_CSV = ANCHOR_CSV.with_name("bf_ms_gap_table.csv")
+
+
+def test_bf_ms_gap_table_consistent():
+    """Stored-data checks on the all-nine-codes BF-vs-MS gap table
+    (tools/gen_gap_table.py, round 5):
+
+    * every code has a row and the decomposition is additive;
+    * the hard-slice penalty is the textbook ~2 dB everywhere
+      (1.2-2.6 dB band — it varies with code rate);
+    * the algorithmic gap is positive everywhere (bf never beats ms at
+      matched hard input), within the reference's "one to two dB" band
+      for the TC codes, and larger for the punctured TM codes;
+    * the independently measured deep-curve numbers for TC512/TM8192
+      (tools/gen_bf_curves.py, different grids and budgets) agree with
+      the table's adaptive-walk numbers within interpolation tolerance.
+    """
+    rows = {}
+    with open(GAP_TABLE_CSV) as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            code, tgt, bf, mh, ms, d_tot, d_alg, d_hard = row
+            rows[code] = dict(
+                bf=float(bf), mh=float(mh), ms=float(ms),
+                d_tot=float(d_tot), d_alg=float(d_alg), d_hard=float(d_hard),
+            )
+    assert set(rows) == {
+        "TC128", "TC256", "TC512", "TM1280", "TM1536", "TM2048",
+        "TM5120", "TM6144", "TM8192",
+    }
+    for code, r in rows.items():
+        assert abs((r["d_alg"] + r["d_hard"]) - r["d_tot"]) < 0.02, code
+        assert 1.2 <= r["d_hard"] <= 2.6, (code, r["d_hard"])
+        assert r["d_alg"] > 0.5, (code, r["d_alg"])
+    for code in ("TC128", "TC256", "TC512"):
+        assert rows[code]["d_alg"] <= 2.8, (code, rows[code])
+    # punctured high-rate TM codes degrade bf far beyond the TC band
+    assert rows["TM8192"]["d_alg"] >= 4.0
+    # cross-method agreement (adaptive walk vs deep fixed grids)
+    from tools.gen_bf_curves import RESULTS, db_at_fer, read_fer
+
+    for code in ("TC512", "TM8192"):
+        deep_bf = db_at_fer(
+            read_fer(RESULTS / f"waterfall_bf_{code.lower()}_ebn0.csv"), 1e-3
+        )
+        assert abs(deep_bf - rows[code]["bf"]) < 0.2, (
+            code, deep_bf, rows[code]["bf"]
+        )
