@@ -333,7 +333,10 @@ def test_bf_ber_anchor_bsc():
     independent seed. A decode_bf semantics regression (flip rule,
     parity, erasure preprocessing) inflates frame errors far outside the
     band; the counters are computed from real bit errors vs ground
-    truth, so fake-success bugs cannot deflate them."""
+    truth, so fake-success bugs cannot deflate them. Calibrated:
+    healthy rerun 160 FE vs expected ~169 (band [85, 339]); a
+    budget-starving bug (maxiters=5) measures 1553 FE (9.7x) and
+    maxiters=2 measures 3104 (19x) — both far outside."""
     a = _bf_curve_rows()[("TC512", 0.03)]
     ci_trials = 4096
     expected_fe = a["frame_errors"] / a["trials"] * ci_trials
@@ -407,3 +410,62 @@ def test_bf_ms_gap_table_consistent():
         assert abs(deep_bf - rows[code]["bf"]) < 0.2, (
             code, deep_bf, rows[code]["bf"]
         )
+
+
+@pytest.mark.parametrize(
+    "code,snr,model,dtype,csv_path",
+    [
+        ("TC512", 1.0, "perftest", "int8",
+         ANCHOR_CSV.with_name("ber_regression_points_i8.csv")),
+        ("TC512", 1.0, "perftest", "int16",
+         ANCHOR_CSV.with_name("ber_regression_points_i16.csv")),
+    ],
+)
+def test_ber_anchor_layered_int_tc512(code, snr, model, dtype, csv_path):
+    """Second code family for the layered-int gates (round 5): TC512 —
+    node-major rot kernels vs TM8192's lane-major pi kernels — anchored
+    on real TPU (2557/16384 int8, 2479/16384 int16 FE @1.0 dB perftest)
+    and rerun here through the bit-exact XLA layered int twin."""
+    a = _anchors(csv_path)[(code, snr)]
+    ci_trials = 1024
+    expected_fe = a["frame_errors"] / a["trials"] * ci_trials
+    assert expected_fe >= 70
+
+    (pt,) = waterfall(
+        code, [snr],
+        batch=ci_trials,
+        maxiters=100,
+        max_bits=1,
+        max_bit_errors=10**9,
+        noise_model=model,
+        dtype_name=dtype,
+        impl="layered",
+        seed=1,
+    )
+    assert pt.trials == ci_trials
+    lo, hi = expected_fe / BAND, expected_fe * BAND
+    assert lo <= pt.frame_errors <= hi, (
+        f"{code}@{snr} {dtype} layered: {pt.frame_errors} frame errors vs "
+        f"expected {expected_fe:.0f} [{lo:.0f}, {hi:.0f}]"
+    )
+
+
+@pytest.mark.parametrize(
+    "code,snr,dtype",
+    [("TC512", 1.0, "int8"), ("TC512", 1.0, "int16")],
+)
+def test_oracle_layered_crosscheck_agreement_tc512(code, snr, dtype):
+    """TC512 rows of the independent layered-int executor (z at
+    generation: 2.43 int8, 0.50 int16)."""
+    suffix = "i8" if dtype == "int8" else "i16"
+    tpu_csv = ANCHOR_CSV.with_name(f"ber_regression_points_{suffix}.csv")
+    o = _native_rows(ORACLE_CSV)[(code, snr, dtype)]
+    t = _anchors(tpu_csv)[(code, snr)]
+    p1, n1 = o["frame_errors"] / o["trials"], o["trials"]
+    p2, n2 = t["frame_errors"] / t["trials"], t["trials"]
+    pooled = (o["frame_errors"] + t["frame_errors"]) / (n1 + n2)
+    se = (pooled * (1 - pooled) * (1 / n1 + 1 / n2)) ** 0.5
+    z = abs(p1 - p2) / se
+    assert z < 4.0, (code, dtype, z)
+    ratio = (o["bit_errors"] / o["bits"]) / (t["bit_errors"] / t["bits"])
+    assert 0.8 < ratio < 1.25, (code, dtype, ratio)

@@ -102,18 +102,25 @@ def main_int(bits: int, flooding: bool):
         impl, out = "pallas_qc", {8: OUT_I8_FLOOD, 16: OUT_I16_FLOOD}[bits]
         kw = dict(max_bits=33_554_432, max_bit_errors=10**9)
         kind = "FLOODING-path (reference clamp-everywhere semantics)"
+        points = [("TM8192", 1.1, "ebn0")]
     else:
         impl, out = "pallas_layered", {8: OUT_I8, 16: OUT_I16}[bits]
         kw = dict(max_bits=16_000_000, max_bit_errors=5_000)
         kind = "production-path (layered, wide posterior accumulator)"
-    pts = waterfall(
-        "TM8192", [1.1], batch=4096, maxiters=100,
-        noise_model="ebn0", dtype_name=dtype_name, impl=impl,
-        seed=0, verbose=True, **kw,
-    )
-    rows = [f"{p.csv()},ebn0,{p.frame_errors}" for p in pts]
+        # TM8192 (lane-major pi kernel) + TC512 (node-major rot kernel):
+        # the two kernel families / code structures, each statistically
+        # anchored; TC512 at its perftest mid-waterfall point
+        points = [("TM8192", 1.1, "ebn0"), ("TC512", 1.0, "perftest")]
+    rows = []
+    for code, snr, model in points:
+        pts = waterfall(
+            code, [snr], batch=4096, maxiters=100,
+            noise_model=model, dtype_name=dtype_name, impl=impl,
+            seed=0, verbose=True, **kw,
+        )
+        rows += [f"{p.csv()},{model},{p.frame_errors}" for p in pts]
     header = (
-        f"# {dtype_name} {kind} anchor measured on real TPU\n"
+        f"# {dtype_name} {kind} anchor(s) measured on real TPU\n"
         f"# (tools/gen_ber_anchors.py; impl={impl}, dtype={dtype_name},\n"
         f"# llr_scale={scale}, maxiters=100, batch=4096, seed 0).\n"
         f"# Gated in tests/test_ber_regression.py.\n"

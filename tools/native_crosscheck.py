@@ -133,6 +133,17 @@ ANCHORS = {
         "tm8192_i16_layered", "TM8192", 1.1, "ebn0", "int16", 256.0, 100,
         4096, 7006, executor="oracle_layered",
     ),
+    # second code family for the layered-int chain (round 5): TC512 at
+    # its perftest mid-waterfall point — node-major rot kernels vs
+    # TM8192's lane-major pi kernels
+    "tc512_i8_layered": Anchor(
+        "tc512_i8_layered", "TC512", 1.0, "perftest", "int8", 16.0, 100,
+        8192, 7007, executor="oracle_layered",
+    ),
+    "tc512_i16_layered": Anchor(
+        "tc512_i16_layered", "TC512", 1.0, "perftest", "int16", 256.0, 100,
+        8192, 7008, executor="oracle_layered",
+    ),
 }
 
 
