@@ -733,6 +733,7 @@ def make_ms_decoder_pallas_layered(
     batch_tile: int | None = None,
     interpret: bool = False,
     subtiles: int = 1,
+    recompute_u: bool | None = None,
 ):
     """VMEM-resident ROW-LAYERED self-corrected min-sum Pallas kernel.
 
@@ -765,6 +766,17 @@ def make_ms_decoder_pallas_layered(
     Each sub-tile still runs its own early-exiting while_loop. Bit-exact
     for any S (tests/test_pallas.py); production routes keep S=1 unless
     the routing table says otherwise.
+
+    `recompute_u` (default: the routing table's per-code measured value)
+    drops the per-edge check-message planes `u` from VMEM: the previous
+    iteration's u is a pure function of the stored self-corrected
+    extrinsic t' and that layer's two-min stats (m1, m2, sign product),
+    so the kernel stores 3 stat planes per LAYER instead of one u plane
+    per EDGE — scratch shrinks by (sumA - 3R) (B, M) planes (TM5120:
+    39 -> 9) and the per-iteration u reads become shared stat-plane
+    reads plus ~5 ALU ops per addend. Bit-exact vs the stored-u form by
+    construction (the recomputation replays the exact producer
+    expression); pinned in tests/test_pallas.py.
 
     Returns fn(llrs: (B, n) dtype) -> MSResult.
     """
@@ -810,6 +822,7 @@ def make_ms_decoder_pallas_layered(
     sumA = sum(len(r) for r in s.rows)
     B = route.ms_batch_tile if batch_tile is None else batch_tile
     S = max(1, int(subtiles))  # sequential sub-tiles per grid step
+    RU = route.ms_recompute_u if recompute_u is None else bool(recompute_u)
     BIG = 3.4e38
     f32 = jnp.float32
     alpha_c = None if alpha is None else float(alpha)
@@ -825,7 +838,8 @@ def make_ms_decoder_pallas_layered(
         bits_ref,  # out: (B, V) uint8 hard bits 0/1
         done_ref,  # out: (B, 1) f32
         iters_ref,  # out: (B, 1) i32
-        us_ref,  # scratch: (sumA, B, M) dtype  check->var messages u
+        us_ref,  # scratch: (sumA, B, M) dtype check->var messages u, OR
+        #          (3R, B, M) per-layer (m1, m2, sg) stats when RU
         tps_ref,  # scratch: (sumA, B, M) dtype previous extrinsics t'
         va_ref,  # scratch: (B, V) dtype posteriors (carried across iters)
         frozen_ref,  # scratch: (B, V) i32 frozen hard bits 0/1
@@ -869,16 +883,50 @@ def make_ms_decoder_pallas_layered(
                 self-correction is vacuous (t' == 0 keeps), and the posterior
                 update adds u directly. Bit-exact vs the general body run on
                 zero state."""
+                def u_old_parts(r, tp):
+                    """Recompute the previous iteration's u for one addend
+                    of layer r from its stored self-corrected extrinsic t'
+                    and the layer's stored (m1, m2, sg) stats — replaying
+                    the exact expression that produced it, so the value is
+                    bit-identical to a stored u (incl. the storage-dtype
+                    round trip, which t' itself carries)."""
+                    m1o = eparts(us_ref, 3 * r + 0)
+                    m2o = eparts(us_ref, 3 * r + 1)
+                    sgo = eparts(us_ref, 3 * r + 2)
+                    out = []
+                    for j in range(P):
+                        if is_int:
+                            a1 = jnp.minimum(jnp.abs(tp[j]), sat_hi)
+                        else:
+                            a1 = jnp.abs(tp[j])
+                        mag = jnp.where(a1 == m1o[j], m2o[j], m1o[j])
+                        if alpha_c is not None:
+                            mag = alpha_c * mag
+                        neg = jnp.logical_xor(sgo[j] > 0.0, tp[j] < 0.0)
+                        # replicate the storage round trip a stored u
+                        # carried (no-op for f32; exact bf16 replay —
+                        # matters when alpha makes mag non-representable)
+                        out.append(
+                            jnp.where(neg, -mag, mag).astype(dtype).astype(f32)
+                        )
+                    return out
+
                 for r, row in enumerate(s.rows):
                     # pass 1: extrinsics t = va - u with self-correction
                     ts = []
+                    u_olds = []
                     for a, perm in enumerate(row):
                         e = row_off[r] + a
                         g = fwd_parts(vparts(perm.col * M), perm)
                         if first:
                             t = g
                         else:
-                            t = [gi - ui for gi, ui in zip(g, eparts(us_ref, e))]
+                            if RU:
+                                u_old = u_old_parts(r, eparts(tps_ref, e))
+                            else:
+                                u_old = eparts(us_ref, e)
+                            u_olds.append(u_old)
+                            t = [gi - ui for gi, ui in zip(g, u_old)]
                             if is_int:  # saturating sub (decoder.rs:46-48)
                                 t = [jnp.clip(x, sat_lo, sat_hi) for x in t]
                             # self-correction (decoder.rs:420-426)
@@ -931,7 +979,7 @@ def make_ms_decoder_pallas_layered(
                         if first:
                             du = u
                         else:
-                            du = [ui - uo for ui, uo in zip(u, eparts(us_ref, e))]
+                            du = [ui - uo for ui, uo in zip(u, u_olds[a])]
                         # the int posterior accumulator stays WIDE — only
                         # messages saturate (qc_minsum.py make_ms_decoder_layered
                         # docstring; bounded by (1+deg)*HI, exact in f32)
@@ -940,8 +988,22 @@ def make_ms_decoder_pallas_layered(
                             va_ref[:, c0 + j * q : c0 + (j + 1) * q] += dv[j].astype(
                                 dtype
                             )
-                        weparts(us_ref, e, u)
+                        if not RU:
+                            weparts(us_ref, e, u)
                         weparts(tps_ref, e, t)
+                    if RU:
+                        # persist this layer's stats for the NEXT
+                        # iteration's u_old recompute (written after every
+                        # u_old of this iteration has been consumed; m1/m2
+                        # are mins of storage-rounded |t'| values and sg is
+                        # 0/1, all exactly representable in the storage
+                        # dtype)
+                        weparts(us_ref, 3 * r + 0, m1)
+                        weparts(us_ref, 3 * r + 1, m2)
+                        weparts(
+                            us_ref, 3 * r + 2,
+                            [sj.astype(f32) for sj in sgb],
+                        )
                 # end-of-iteration syndrome over the FINAL posteriors (per-layer
                 # parities taken mid-sweep are stale — qc_minsum.py layered).
                 # Sign planes as i32 0/1 (rolls are bit-pattern moves; i32 skips
@@ -1020,7 +1082,8 @@ def make_ms_decoder_pallas_layered(
             scratch_shapes=[
                 pltpu.VMEM(sh, dt)
                 for sh, dt in ms_layered_scratch_specs(
-                    sumA, V, M, B, dtype, node_major=False
+                    sumA, V, M, B, dtype, node_major=False,
+                    recompute_u=RU, n_layers=R,
                 )
             ],
         )

@@ -45,6 +45,16 @@ benchmarks/results.jsonl):
 bf16 storage keeps the f32 tiles (a storage-aware 2x tile measured a
 LOSS on the heavy codes — issue/pipelining bound, not VMEM bound); dtype
 guidance lives in docs/API.md.
+
+* ms_recompute_u (round-5 A/B, /tmp-protocol in STATUS.md): dropping the
+  per-edge u planes (sumA -> 3R stat planes; TM5120 39 -> 9) and
+  recomputing u from t' + stats measured a LOSS on every lane-major code
+  — headline -0.5..-4.4%, steady state -4.5..-7.2% (TM8192/TM6144/
+  TM5120/TM2048) — so neither issue slots (the round-4 parts
+  falsification) nor VMEM traffic/capacity is the binding constraint;
+  the Mosaic scheduling-bound diagnosis stands. Default False for every
+  code; the variant stays available (bit-exact, pinned) for future
+  hardware where the trade may flip.
 """
 
 from __future__ import annotations
@@ -68,6 +78,10 @@ class KernelRoute:
     ms_lane_parts: bool  # lane-major only: quartered lane-parts carriage
     bf_layout: str  # node_major (ops/pallas_tc) | lane_major (ops/pallas_bf)
     bf_batch_tile: int  # codewords per grid step, bit-flip kernels
+    # lane-major layered only: drop the per-edge u planes and recompute
+    # the previous iteration's u from t' + per-layer stats (round-5
+    # experiment; default False until a code measures a win)
+    ms_recompute_u: bool = False
 
 
 ROUTES: dict[str, KernelRoute] = {

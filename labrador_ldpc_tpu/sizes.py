@@ -81,11 +81,14 @@ def ms_flooding_scratch_specs(sumA, R, V, M, B, dtype, node_major):
     ]
 
 
-def ms_layered_scratch_specs(sumA, V, M, B, dtype, node_major):
+def ms_layered_scratch_specs(sumA, V, M, B, dtype, node_major,
+                             recompute_u=False, n_layers=None):
     """Scratch of the fused row-layered min-sum kernel: check->var messages
-    u, previous extrinsics t', carried posteriors, i32 frozen bits, done,
-    iters."""
+    u (or, with `recompute_u`, 3 per-layer stat planes m1/m2/sg in its
+    place — lane-major only), previous extrinsics t', carried posteriors,
+    i32 frozen bits, done, iters."""
     if node_major:
+        assert not recompute_u, "recompute_u is a lane-major kernel variant"
         return [
             ((sumA * M, B), dtype),
             ((sumA * M, B), dtype),
@@ -94,8 +97,9 @@ def ms_layered_scratch_specs(sumA, V, M, B, dtype, node_major):
             ((1, B), _F32),
             ((1, B), _I32),
         ]
+    first = (3 * n_layers, B, M) if recompute_u else (sumA, B, M)
     return [
-        ((sumA, B, M), dtype),
+        (first, dtype),
         ((sumA, B, M), dtype),
         ((B, V), dtype),
         ((B, V), _I32),

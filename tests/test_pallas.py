@@ -427,3 +427,46 @@ def test_pallas_layered_subtiles_bit_exact():
         code, jnp.float32, maxiters=8, batch_tile=2, interpret=True, subtiles=2
     )(jnp.asarray(soft[:6]))
     np.testing.assert_array_equal(np.asarray(r1.bits)[:6], np.asarray(r3.bits))
+
+
+def test_pallas_layered_recompute_u_bit_exact():
+    """recompute_u=True (round-5 falsified-but-kept variant: per-edge u
+    planes replaced by 3 per-layer stat planes, u recomputed from t')
+    must be bit-exact vs the stored-u kernel — bits/success/iterations —
+    for f32, bf16 (storage round replay) and the saturating int path, on
+    both the lane-parts (TM2048) and full-plane (TM8192) kernel forms."""
+    import numpy as np
+
+    from labrador_ldpc_tpu.channel.awgn import quantize_llrs
+    from labrador_ldpc_tpu.ops.pallas_qc import make_ms_decoder_pallas_layered
+
+    for name in ("TM2048", "TM8192"):
+        code = get_code(name)
+        rng = np.random.default_rng(7)
+        B = 4
+        data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+        cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+        tx = 1.0 - 2.0 * cw.astype(np.float64)
+        soft = (tx + rng.normal(0.0, 0.8, tx.shape)).astype(np.float32)
+        for dt, llrs in [
+            (jnp.float32, jnp.asarray(soft)),
+            (jnp.bfloat16, jnp.asarray(soft)),
+            (jnp.int8, quantize_llrs(jnp.asarray(soft), jnp.int8, 16.0)),
+        ]:
+            r0 = make_ms_decoder_pallas_layered(
+                code, dt, maxiters=7, batch_tile=2, interpret=True,
+                recompute_u=False,
+            )(llrs)
+            r1 = make_ms_decoder_pallas_layered(
+                code, dt, maxiters=7, batch_tile=2, interpret=True,
+                recompute_u=True,
+            )(llrs)
+            np.testing.assert_array_equal(
+                np.asarray(r0.bits), np.asarray(r1.bits)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(r0.success), np.asarray(r1.success)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(r0.iterations), np.asarray(r1.iterations)
+            )
