@@ -469,3 +469,40 @@ def test_oracle_layered_crosscheck_agreement_tc512(code, snr, dtype):
     assert z < 4.0, (code, dtype, z)
     ratio = (o["bit_errors"] / o["bits"]) / (t["bit_errors"] / t["bits"])
     assert 0.8 < ratio < 1.25, (code, dtype, ratio)
+
+
+BSC_THRESH_CSV = ANCHOR_CSV.with_name("bsc_thresholds.csv")
+
+
+def test_bsc_thresholds_consistent():
+    """Stored-data checks on the BSC operating-point table
+    (tools/gen_bsc_thresholds.py): all nine codes present; min-sum on
+    hard input always tolerates a higher flip probability than
+    bit-flipping (ratio > 1, growing toward low-rate codes); the bf
+    crossings agree with the independently measured deep BSC curves
+    (different grids/budgets) within interpolation tolerance; the
+    rate-1/2 ms_hard thresholds sit below the BSC capacity-ish bound
+    (p ~ 0.11 for r=1/2)."""
+    rows = {}
+    with open(BSC_THRESH_CSV) as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            code, tgt, p_bf, p_mh, ratio = row
+            rows[code] = (float(p_bf), float(p_mh), float(ratio))
+    assert len(rows) == 9
+    for code, (p_bf, p_mh, ratio) in rows.items():
+        assert 0 < p_bf < p_mh < 0.12, (code, p_bf, p_mh)
+        assert ratio > 1.5, (code, ratio)
+    # rate-1/2 TM ms_hard thresholds approach but stay under ~0.11
+    assert 0.05 < rows["TM8192"][1] < 0.11
+    assert 0.05 < rows["TM2048"][1] < 0.11
+    # cross-method: bf crossings vs the stored deep BSC curves
+    from tools.gen_bf_curves import RESULTS, db_at_fer, read_fer
+
+    for code in ("TC512", "TM8192"):
+        deep = db_at_fer(
+            read_fer(RESULTS / f"waterfall_bf_{code.lower()}_bsc.csv"), 1e-3
+        )
+        walk = rows[code][0]
+        assert abs(deep - walk) / walk < 0.12, (code, deep, walk)

@@ -81,10 +81,11 @@ def read_fer(path):
 
 
 def db_at_fer(pts, target):
-    """log-linear interpolation of the dB (or p) where FER crosses target."""
+    """log-linear interpolation of the dB (or p) where FER crosses target
+    (handles FER falling with x — dB axes — or rising — BSC/BEC p axes)."""
     pts = sorted(pts)
     for (x0, f0), (x1, f1) in zip(pts, pts[1:]):
-        if f0 >= target >= f1 and f0 > 0 and f1 > 0:
+        if (f0 >= target >= f1 or f0 <= target <= f1) and f0 > 0 and f1 > 0                 and f0 != f1:
             t = (math.log(target) - math.log(f0)) / (math.log(f1) - math.log(f0))
             return x0 + t * (x1 - x0)
     return None
