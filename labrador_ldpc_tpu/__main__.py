@@ -119,7 +119,7 @@ def main(argv=None) -> int:
     w.add_argument("--alpha", type=float, default=None, help="normalized min-sum factor")
     w.add_argument("--impl", choices=["auto", "ref", "qc", "layered", "qc_i8", "qc_i16",
                                       "pallas_qc", "pallas_layered",
-                                      "pallas", "gather"],
+                                      "sp", "pallas", "gather"],
                    default="auto",
                    help="decoder implementation (default auto: the measured-best "
                         "production path — fused Pallas kernels on TPU; int dtypes "

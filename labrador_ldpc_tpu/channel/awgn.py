@@ -141,9 +141,22 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
         from ..ops.pallas_qc import make_ms_decoder_pallas_layered
 
         return make_ms_decoder_pallas_layered(code, dtype, maxiters, alpha)
+    if impl == "sp":
+        # flooding sum-product (validation yardstick, f32 only — the
+        # optimality reference the crate cites but never instantiates,
+        # src/lib.rs:217-218). NOTE: expects TRUE channel LLRs; the
+        # trial step scales by 2/sigma^2 for this impl (sum-product is
+        # not scale-invariant, unlike min-sum — decoder.rs:332-335)
+        if dtype.name != "float32":
+            raise ValueError("impl 'sp' supports float32 only")
+        if alpha is not None:
+            raise ValueError("impl 'sp' does not take alpha")
+        from ..ops.sumproduct import make_sp_decoder
+
+        return make_sp_decoder(code, maxiters)
     raise ValueError(
         f"unknown decoder impl {impl!r} "
-        "(auto|ref|qc|layered|qc_i8|qc_i16|pallas_qc|pallas_layered)"
+        "(auto|ref|qc|layered|qc_i8|qc_i16|pallas_qc|pallas_layered|sp)"
     )
 
 
@@ -297,7 +310,15 @@ def make_trial_step(
         tx = 1.0 - 2.0 * cw_bits.astype(jnp.float32)
         noise = jax.random.normal(kn, tx.shape, jnp.float32) * sigma
         soft = tx + noise
-        llrs = quantize_llrs(soft, dtype, llr_scale) if is_int else soft.astype(dtype)
+        if is_int:
+            llrs = quantize_llrs(soft, dtype, llr_scale)
+        elif impl == "sp":
+            # true channel LLRs 2y/sigma^2: sum-product is NOT
+            # scale-invariant (min-sum is, decoder.rs:332-335, which is
+            # why the perftest's unscaled-LLR convention works there)
+            llrs = (soft * (2.0 / (sigma * sigma))).astype(dtype)
+        else:
+            llrs = soft.astype(dtype)
         if mesh is not None:
             llrs = jax.lax.with_sharding_constraint(llrs, data_s)
         res = decoder(llrs)

@@ -404,3 +404,56 @@ def test_decode_erasures_mask_random_one_sided():
     assert (cw[set_one] == 1).all()
     # non-erased bits never change
     np.testing.assert_array_equal(rec[:, : pm.n][~tx_er], cw[~tx_er])
+
+
+def test_sum_product_decoder():
+    """The sum-product yardstick (ops/sumproduct.py — the optimality
+    reference src/lib.rs:217-218 cites but never instantiates): clean
+    channel converges at iteration 0; with TRUE channel LLRs (2y/sigma^2
+    — BP is not scale-invariant) it decodes a moderate-noise batch about
+    as well as min-sum, and every reported success carries the correct
+    data bits."""
+    from labrador_ldpc_tpu.ops.sumproduct import make_sp_decoder
+
+    code = get_code("TC128")
+    rng = np.random.default_rng(3)
+    B = 48
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encoder.encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float64)
+
+    clean = make_sp_decoder(code, maxiters=10)(jnp.asarray(tx, jnp.float32))
+    assert bool(np.asarray(clean.success).all())
+    assert int(np.asarray(clean.iterations).max()) == 0
+    np.testing.assert_array_equal(np.asarray(clean.bits)[:, : code.k], data)
+
+    sigma = 0.72
+    soft = (tx + rng.normal(0.0, sigma, tx.shape)).astype(np.float32)
+    res = make_sp_decoder(code, maxiters=50)(
+        jnp.asarray(soft * (2.0 / sigma**2))
+    )
+    ok = np.asarray(res.success)
+    assert ok.sum() >= B * 0.6  # decodes most frames at ~2.9 dB
+    good = (np.asarray(res.bits)[:, : code.k] == data).all(axis=1)
+    np.testing.assert_array_equal(good[ok], True)
+
+
+def test_sp_impl_plumbing():
+    """impl='sp' routes through the shared registry with true-LLR scaling
+    in the trial step, and rejects non-f32/alpha configs loudly."""
+    from labrador_ldpc_tpu.channel.awgn import _make_decoder, make_trial_step
+    from labrador_ldpc_tpu.channel import noise_sigma
+
+    c = get_code("TC128")
+    with pytest.raises(ValueError, match="float32"):
+        _make_decoder(c, jnp.int8, 10, None, "sp")
+    with pytest.raises(ValueError, match="alpha"):
+        _make_decoder(c, jnp.float32, 10, 0.8, "sp")
+    # at 2.5 dB the sp trial step must decode most frames — if the
+    # 2/sigma^2 scaling were missing, BP collapses entirely (measured
+    # 0/64 without it vs 47/64 with it at similar noise)
+    import jax
+
+    step = make_trial_step(c, 64, 50, "float32", None, "sp")
+    stats = step(jax.random.PRNGKey(2), jnp.float32(noise_sigma(2.5, c, "ebn0")))
+    assert int(stats.decode_failures) < 32

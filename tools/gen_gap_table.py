@@ -52,18 +52,30 @@ STEP = 0.25
 BATCH = 8192
 
 
+# surface -> (waterfall decoder, impl, maxiters). "sp" is the flooding
+# sum-product yardstick (ops/sumproduct.py; true-LLR scaling handled by
+# the trial step); "ms_flood" is the reference's own flooding
+# self-corrected min-sum on the fused kernel.
+SURFACES = {
+    "ms": ("ms", "auto", 100),
+    "ms_hard": ("ms_hard", "auto", 100),
+    "bf": ("bf", "auto", 50),
+    "sp": ("ms", "sp", 100),
+    "ms_flood": ("ms", "pallas_qc", 100),
+}
+
+
 def fer_at(code, surface, db, trials, points_log):
     from labrador_ldpc_tpu.channel.waterfall import waterfall
 
-    decoder = {"ms": "ms", "ms_hard": "ms_hard", "bf": "bf"}[surface]
-    maxiters = 50 if surface == "bf" else 100
+    decoder, impl, maxiters = SURFACES[surface]
     k = {"TC128": 64, "TC256": 128, "TC512": 256, "TM1280": 1024,
          "TM1536": 1024, "TM2048": 1024, "TM5120": 4096, "TM6144": 4096,
          "TM8192": 4096}[code]
     (p,) = waterfall(
         code, [db], batch=BATCH, maxiters=maxiters,
         max_bits=trials * k, max_bit_errors=10**9,
-        noise_model="ebn0", decoder=decoder, seed=0,
+        noise_model="ebn0", decoder=decoder, impl=impl, seed=0,
     )
     points_log.append(
         f"{code},{surface},{db},{p.trials},{p.bits},{p.bit_errors},"
