@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.params import LDPCCode, get_code
-from .convert import unpack_bits  # noqa: F401  (parity with sibling modules)
 from .minsum import MSResult, _device_tables
 
 __all__ = ["make_sp_decoder"]
