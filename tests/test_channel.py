@@ -87,6 +87,21 @@ def test_two_stage_decoder_rescues():
     good2 = (np.asarray(res2.bits)[:, : c.k] == data).all(axis=1)
     assert ok2.any() and good2[ok2].mean() > 0.9
 
+    # rescue_impl="sp" (the round-5 QUALITY mode): plumbs through the
+    # registry; feed TRUE LLRs (scale once — min-sum stages are
+    # scale-invariant, BP is not). Quality only pays on the large codes
+    # (measured TM8192@1.1: 12 vs 175 FE/4096 — sum-product quality;
+    # on short-cycle TC codes SCMS beats BP, sp_ms_gap.csv) — this
+    # checks the plumbing, not quality.
+    dec3 = make_two_stage_decoder(
+        c, maxiters_fast=2, maxiters_rescue=50,
+        dtype=jnp.float32, fast_impl="layered", rescue_impl="sp",
+    )
+    res3 = dec3(noisy * (2.0 / 0.55**2))
+    ok3 = np.asarray(res3.success)
+    good3 = (np.asarray(res3.bits)[:, : c.k] == data).all(axis=1)
+    assert ok3.any() and good3[ok3].mean() > 0.9
+
 
 def test_quantize_llrs_values():
     """clip(round(llr*scale)) semantics + default scales (VERDICT r1 item 3)."""
