@@ -141,22 +141,37 @@ def _make_decoder(code, dtype, maxiters, alpha, impl: str):
         from ..ops.pallas_qc import make_ms_decoder_pallas_layered
 
         return make_ms_decoder_pallas_layered(code, dtype, maxiters, alpha)
-    if impl == "sp":
-        # flooding sum-product (validation yardstick, f32 only — the
-        # optimality reference the crate cites but never instantiates,
-        # src/lib.rs:217-218). NOTE: expects TRUE channel LLRs; the
-        # trial step scales by 2/sigma^2 for this impl (sum-product is
-        # not scale-invariant, unlike min-sum — decoder.rs:332-335)
+    if impl in ("sp", "sp_layered", "sp_pallas"):
+        # sum-product surfaces (f32 only; TRUE channel LLRs — the trial
+        # step scales by 2/sigma^2 for these impls, BP is not
+        # scale-invariant unlike min-sum, decoder.rs:332-335):
+        #   "sp"         flooding BP — the validation yardstick the
+        #                reference cites but never instantiates
+        #                (src/lib.rs:217-218)
+        #   "sp_layered" the QUALITY path: layered BP — fused Pallas
+        #                kernel on TPU (55k cw/s TM8192@1.1, 37x the
+        #                XLA flooding form, same 12/4096-FE quality),
+        #                XLA layered twin elsewhere
+        #   "sp_pallas"  force the fused kernel explicitly
         if dtype.name != "float32":
-            raise ValueError("impl 'sp' supports float32 only")
+            raise ValueError(f"impl {impl!r} supports float32 only")
         if alpha is not None:
-            raise ValueError("impl 'sp' does not take alpha")
-        from ..ops.sumproduct import make_sp_decoder
+            raise ValueError(f"impl {impl!r} does not take alpha")
+        if impl == "sp":
+            from ..ops.sumproduct import make_sp_decoder
 
-        return make_sp_decoder(code, maxiters)
+            return make_sp_decoder(code, maxiters)
+        if impl == "sp_pallas" or jax.default_backend() == "tpu":
+            from ..ops.pallas_sp import make_sp_decoder_pallas
+
+            return make_sp_decoder_pallas(code, maxiters)
+        from ..ops.sumproduct import make_sp_decoder_layered
+
+        return make_sp_decoder_layered(code, maxiters)
     raise ValueError(
         f"unknown decoder impl {impl!r} "
-        "(auto|ref|qc|layered|qc_i8|qc_i16|pallas_qc|pallas_layered|sp)"
+        "(auto|ref|qc|layered|qc_i8|qc_i16|pallas_qc|pallas_layered|"
+        "sp|sp_layered|sp_pallas)"
     )
 
 
@@ -312,7 +327,7 @@ def make_trial_step(
         soft = tx + noise
         if is_int:
             llrs = quantize_llrs(soft, dtype, llr_scale)
-        elif impl == "sp":
+        elif impl.startswith("sp"):
             # true channel LLRs 2y/sigma^2: sum-product is NOT
             # scale-invariant (min-sum is, decoder.rs:332-335, which is
             # why the perftest's unscaled-LLR convention works there)

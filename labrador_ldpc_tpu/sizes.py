@@ -108,6 +108,21 @@ def ms_layered_scratch_specs(sumA, V, M, B, dtype, node_major,
     ]
 
 
+def sp_layered_scratch_specs(sumA, V, M, B):
+    """Scratch of the fused layered SUM-PRODUCT kernel
+    (ops/pallas_sp.py): check->var messages u, carried posteriors, i32
+    frozen bits, done, iters — one (sumA, B, M) plane LIGHTER than the
+    min-sum layered kernel (no t' plane: BP has no self-correction).
+    Lane-major only."""
+    return [
+        ((sumA, B, M), _F32),
+        ((B, V), _F32),
+        ((B, V), _I32),
+        ((B, 1), _F32),
+        ((B, 1), _I32),
+    ]
+
+
 def bf_scratch_specs(V, B, node_major):
     """Scratch of the fused bit-flip kernel: working bits, violation
     counts, done, iters (all-f32 state)."""

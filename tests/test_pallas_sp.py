@@ -1,0 +1,94 @@
+"""Pins for the fused layered sum-product kernel (ops/pallas_sp.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from labrador_ldpc_tpu.codes.params import get_code
+from labrador_ldpc_tpu.ops.encoder import encode_bits
+from labrador_ldpc_tpu.ops.pallas_sp import make_sp_decoder_pallas
+from labrador_ldpc_tpu.ops.sumproduct import (
+    make_sp_decoder,
+    make_sp_decoder_layered,
+)
+
+
+def _true_llrs(code, B, seed, sigma):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = np.asarray(encode_bits(code, jnp.asarray(data)))
+    tx = 1.0 - 2.0 * cw.astype(np.float64)
+    soft = (tx + rng.normal(0.0, sigma, tx.shape)).astype(np.float32)
+    return data, jnp.asarray(soft * (2.0 / sigma**2))
+
+
+@pytest.mark.parametrize("name", ["TM2048", "TM8192"])
+@pytest.mark.parametrize("sigma", [0.72, 0.85])
+def test_pallas_sp_bit_exact_vs_twin(name, sigma):
+    """The fused layered BP kernel is bit-exact (bits/success/iterations)
+    vs make_sp_decoder_layered on both lane-major kernel forms
+    (TM2048 lane-parts, TM8192 full-plane), across converging and
+    failing noise levels."""
+    code = get_code(name)
+    _, llrs = _true_llrs(code, 4, 5, sigma)
+    t = make_sp_decoder_layered(code, 8)(llrs)
+    k = make_sp_decoder_pallas(code, 8, batch_tile=2, interpret=True)(llrs)
+    np.testing.assert_array_equal(np.asarray(t.bits), np.asarray(k.bits))
+    np.testing.assert_array_equal(np.asarray(t.success), np.asarray(k.success))
+    np.testing.assert_array_equal(
+        np.asarray(t.iterations), np.asarray(k.iterations)
+    )
+
+
+def test_pallas_sp_quality_beats_minsum_converges():
+    """At a moderate noise level the layered BP kernel (interpret) decodes
+    frames correctly — every reported success carries the right data."""
+    code = get_code("TM2048")
+    data, llrs = _true_llrs(code, 4, 9, 0.66)
+    r = make_sp_decoder_pallas(code, 30, batch_tile=2, interpret=True)(llrs)
+    ok = np.asarray(r.success)
+    assert ok.any()
+    good = (np.asarray(r.bits)[:, : code.k] == data).all(axis=1)
+    np.testing.assert_array_equal(good[ok], True)
+
+
+def test_pallas_sp_node_major_fallback():
+    """M <= 256 codes get the XLA layered twin (SP is not a production
+    surface there — sp_ms_gap.csv sign structure)."""
+    code = get_code("TC128")
+    dec = make_sp_decoder_pallas(code, 10)
+    _, llrs = _true_llrs(code, 4, 3, 0.6)
+    r1 = dec(llrs)
+    r2 = make_sp_decoder_layered(code, 10)(llrs)
+    np.testing.assert_array_equal(np.asarray(r1.bits), np.asarray(r2.bits))
+
+
+def test_sp_layered_converges_faster_than_flooding():
+    """The layered schedule propagates ~2x faster: at matched budget it
+    converges no fewer frames, in fewer iterations (same statistical
+    quality — TPU-measured 12/4096 FE for both at TM8192@1.1)."""
+    code = get_code("TM1280")
+    _, llrs = _true_llrs(code, 16, 7, 0.60)
+    f = make_sp_decoder(code, 40)(llrs)
+    l = make_sp_decoder_layered(code, 40)(llrs)
+    okf, okl = np.asarray(f.success), np.asarray(l.success)
+    assert okl.sum() >= okf.sum()
+    if okf.any() and okl.any():
+        assert (np.asarray(l.iterations)[okl].mean()
+                <= np.asarray(f.iterations)[okf].mean())
+
+
+def test_sp_impl_registry_routing():
+    from labrador_ldpc_tpu.channel.awgn import _make_decoder
+
+    c = get_code("TC128")
+    with pytest.raises(ValueError, match="float32"):
+        _make_decoder(c, jnp.int8, 10, None, "sp_layered")
+    with pytest.raises(ValueError, match="alpha"):
+        _make_decoder(c, jnp.float32, 10, 0.5, "sp_pallas")
+    # off-TPU, sp_layered resolves to the XLA layered twin
+    dec = _make_decoder(c, jnp.float32, 10, None, "sp_layered")
+    _, llrs = _true_llrs(c, 4, 3, 0.6)
+    r1 = dec(llrs)
+    r2 = make_sp_decoder_layered(c, 10)(llrs)
+    np.testing.assert_array_equal(np.asarray(r1.bits), np.asarray(r2.bits))

@@ -147,6 +147,19 @@ def run_code(code_name: str, B: int, results: list) -> None:
           lambda: _same(make_bf_decoder_pallas(code, maxiters=50)(bits),
                         make_bf_decoder_qc(code, maxiters=50)(bits)))
 
+    # --- sum-product: fused layered BP kernel vs its XLA twin (lane-major
+    # codes only; the factory serves the twin itself below M=512) ---------
+    from labrador_ldpc_tpu.ops.pallas_sp import make_sp_decoder_pallas
+    from labrador_ldpc_tpu.ops.routing import route_for
+    from labrador_ldpc_tpu.ops.sumproduct import make_sp_decoder_layered
+
+    if route_for(code).ms_layout == "lane_major":
+        # BP wants TRUE LLRs: rescale the same noisy batch (sigma=0.7)
+        sp_llrs = noisy * (2.0 / 0.49)
+        check("sp pallas==layered_xla",
+              lambda: _same(make_sp_decoder_pallas(code, 30)(sp_llrs),
+                            make_sp_decoder_layered(code, 30)(sp_llrs)))
+
     # --- bf16: ground-truth outcome (no bit-exact twin by contract) ------
     clean = np.asarray(encode_bits(code, jnp.asarray(data)))
     rx = clean.copy()
