@@ -91,6 +91,9 @@ def main():
             del outs
         return best
 
+    # same 4-point protocol as labrador_ldpc_tpu.utils.timing.pipelined_slope
+    # (kept inline here because the fit DIAGNOSTICS below need the raw
+    # (k, t) points, which the shared helper does not expose)
     K = int(os.environ.get("BENCH_PIPELINE", "32"))  # max dispatches per timing
     ks = sorted({max(1, K * i // 4) for i in (1, 2, 3, 4)})
     ts = [timed(k) for k in ks]

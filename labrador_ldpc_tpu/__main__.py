@@ -25,6 +25,31 @@ def _cmd_waterfall(args) -> int:
             raise SystemExit(
                 "error: --decoder bf takes --impl auto|pallas|qc|gather"
             )
+    elif args.decoder == "ms_hard":
+        # the hard-input min-sum surface is float32-only and ignores the
+        # quantizer/alpha knobs — reject confusing combinations up front
+        if args.noise_model == "bec":
+            raise SystemExit(
+                "error: --noise-model bec requires --decoder bf (erased "
+                "bits enter hard decoders as 0; ms_hard takes bsc/"
+                "perftest/ebn0)"
+            )
+        if args.impl in ("qc_i8", "qc_i16", "pallas", "gather"):
+            raise SystemExit(
+                f"error: --decoder ms_hard does not take --impl {args.impl} "
+                "(float32 ms impl space: auto|ref|qc|layered|pallas_qc|"
+                "pallas_layered|sp|sp_layered|sp_pallas)"
+            )
+        if args.dtype != "float32":
+            raise SystemExit(
+                "error: --decoder ms_hard is float32-only (the hard slice "
+                "produces ±1 LLRs; use --decoder ms for quantized fronts)"
+            )
+        if args.alpha is not None or args.llr_scale is not None:
+            raise SystemExit(
+                "error: --decoder ms_hard ignores --alpha/--llr-scale; "
+                "drop them"
+            )
     else:
         if args.noise_model == "bec" or (
             args.noise_model == "bsc" and args.decoder != "ms_hard"
@@ -35,6 +60,10 @@ def _cmd_waterfall(args) -> int:
             )
         if args.impl in ("pallas", "gather"):
             raise SystemExit(f"error: --impl {args.impl} requires --decoder bf")
+        if args.impl.startswith("sp") and args.dtype != "float32":
+            raise SystemExit(
+                f"error: --impl {args.impl} (sum-product) is float32-only"
+            )
         if args.impl == "qc_i8" and args.dtype != "int8":
             raise SystemExit("error: --impl qc_i8 requires --dtype int8")
         if args.impl == "qc_i16" and args.dtype != "int16":
@@ -119,7 +148,8 @@ def main(argv=None) -> int:
     w.add_argument("--alpha", type=float, default=None, help="normalized min-sum factor")
     w.add_argument("--impl", choices=["auto", "ref", "qc", "layered", "qc_i8", "qc_i16",
                                       "pallas_qc", "pallas_layered",
-                                      "sp", "pallas", "gather"],
+                                      "sp", "sp_layered", "sp_pallas",
+                                      "pallas", "gather"],
                    default="auto",
                    help="decoder implementation (default auto: the measured-best "
                         "production path — fused Pallas kernels on TPU; int dtypes "

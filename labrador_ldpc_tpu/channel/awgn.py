@@ -67,6 +67,19 @@ def resolve_impl(code, dtype, impl: str, backend: str | None = None) -> str:
     return "layered"
 
 
+def uses_pallas(impl: str) -> bool:
+    """Whether the RESOLVED impl builds an opaque `pallas_call` — which
+    the GSPMD partitioner would REPLICATE on every device of a mesh, so
+    it must be wrapped in shard_map explicitly (ADVICE r3 medium; the
+    round-5 review caught the sp impls missing from the old
+    startswith("pallas") predicate, which would have silently defeated
+    multichip scaling for the SP quality path)."""
+    if impl.startswith("pallas") or impl == "sp_pallas":
+        return True
+    # sp_layered serves the fused kernel on TPU, the XLA twin elsewhere
+    return impl == "sp_layered" and jax.default_backend() == "tpu"
+
+
 def _make_decoder(code, dtype, maxiters, alpha, impl: str):
     """Select the min-sum implementation: "auto" (measured-best production
     path for the build-time backend — see `resolve_impl`), "ref"
@@ -214,6 +227,7 @@ __all__ = [
     "noise_sigma",
     "quantize_llrs",
     "resolve_impl",
+    "uses_pallas",
 ]
 
 
@@ -311,7 +325,7 @@ def make_trial_step(
 
         assert batch % mesh.devices.size == 0, (batch, mesh.devices.size)
         data_s = NamedSharding(mesh, P("batch", None))
-        if impl.startswith("pallas"):
+        if uses_pallas(impl):
             # opaque to the GSPMD partitioner — map explicitly per device
             decoder = shard_map_decoder(decoder, mesh)
 

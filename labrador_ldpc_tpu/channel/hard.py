@@ -67,6 +67,39 @@ def _make_bf_decoder(code, maxiters: int, impl: str):
     raise ValueError(f"unknown bf impl {impl!r} (auto|pallas|qc|gather)")
 
 
+def _hard_channel_rx(channel, kn, cw_bits, param):
+    """Received HARD bits for the hard-surface channels (shared by the bf
+    and ms_hard trial steps — round-5 review dedup): 'bsc' flips each bit
+    i.i.d. w.p. param; 'bec' erases-to-0 i.i.d. w.p. param (the
+    reference's residual-erasure convention, decoder.rs:167 — an erased
+    true-1 bit is an error for the decoder to fix); 'perftest'/'ebn0'
+    add AWGN at sigma=param on BPSK +-1 and hard-slice — the exact
+    channel the soft ms waterfall uses, minus the soft information."""
+    if channel == "bsc":
+        flips = jax.random.bernoulli(kn, param, cw_bits.shape)
+        return cw_bits ^ flips.astype(jnp.uint8)
+    if channel == "bec":
+        er = jax.random.bernoulli(kn, param, cw_bits.shape)
+        return cw_bits * (1 - er.astype(jnp.uint8))
+    tx = 1.0 - 2.0 * cw_bits.astype(jnp.float32)
+    soft = tx + jax.random.normal(kn, tx.shape, jnp.float32) * param
+    return (soft < 0).astype(jnp.uint8)
+
+
+def _count_stats(batch, k, data_bits, res) -> ChannelStats:
+    """Data-bit/frame error counters from a decode result (scalar
+    reductions over a sharded batch axis compile to psums)."""
+    data_hat = res.bits[:, :k]
+    bit_err = (data_hat != data_bits).sum(dtype=jnp.int32, axis=1)  # (B,)
+    return ChannelStats(
+        trials=jnp.asarray(batch, jnp.int32),
+        bit_errors=bit_err.sum(dtype=jnp.int32),
+        frame_errors=(bit_err > 0).sum(dtype=jnp.int32),
+        decode_failures=(~res.success).sum(dtype=jnp.int32),
+        iterations=res.iterations.sum(dtype=jnp.int32),
+    )
+
+
 @lru_cache(maxsize=None)
 def make_bf_trial_step(
     code: LDPCCode | str,
@@ -111,38 +144,10 @@ def make_bf_trial_step(
         if mesh is not None:
             data_bits = jax.lax.with_sharding_constraint(data_bits, data_s)
         cw_bits = encode_bits(code, data_bits)  # (B, n)
-        if channel == "bsc":
-            flips = jax.random.bernoulli(kn, param, cw_bits.shape)
-            rx = cw_bits ^ flips.astype(jnp.uint8)
-        elif channel == "bec":
-            # binary ERASURE channel: each transmitted bit erased i.i.d.
-            # w.p. param; erased bits enter the decoder as 0 — the
-            # reference's own convention for unresolved erasures
-            # (decoder.rs:167, residual bits left to the BF main loop) —
-            # so an erased 1-bit is an error for bit-flipping to fix and
-            # an erased 0-bit is free. The production punctured-tail
-            # erasure pass runs inside decode_bf on top of this.
-            er = jax.random.bernoulli(kn, param, cw_bits.shape)
-            rx = cw_bits * (1 - er.astype(jnp.uint8))
-        else:
-            # AWGN at sigma=param on BPSK +-1, then a hard slice: the
-            # exact channel the ms waterfall uses (awgn.make_trial_step),
-            # minus the soft information
-            tx = 1.0 - 2.0 * cw_bits.astype(jnp.float32)
-            soft = tx + jax.random.normal(kn, tx.shape, jnp.float32) * param
-            rx = (soft < 0).astype(jnp.uint8)
+        rx = _hard_channel_rx(channel, kn, cw_bits, param)
         if mesh is not None:
             rx = jax.lax.with_sharding_constraint(rx, data_s)
-        res = decoder(rx)
-        data_hat = res.bits[:, : p.k]
-        bit_err = (data_hat != data_bits).sum(dtype=jnp.int32, axis=1)  # (B,)
-        return ChannelStats(
-            trials=jnp.asarray(batch, jnp.int32),
-            bit_errors=bit_err.sum(dtype=jnp.int32),
-            frame_errors=(bit_err > 0).sum(dtype=jnp.int32),
-            decode_failures=(~res.success).sum(dtype=jnp.int32),
-            iterations=res.iterations.sum(dtype=jnp.int32),
-        )
+        return _count_stats(batch, p.k, data_bits, decoder(rx))
 
     return jax.jit(step)
 
@@ -179,7 +184,9 @@ def make_ms_hard_trial_step(
 
         assert batch % mesh.devices.size == 0, (batch, mesh.devices.size)
         data_s = NamedSharding(mesh, P("batch", None))
-        if impl.startswith("pallas"):
+        from .awgn import uses_pallas
+
+        if uses_pallas(impl):
             decoder = shard_map_decoder(decoder, mesh)
 
     def step(key: jax.Array, param: jnp.ndarray) -> ChannelStats:
@@ -188,26 +195,11 @@ def make_ms_hard_trial_step(
         if mesh is not None:
             data_bits = jax.lax.with_sharding_constraint(data_bits, data_s)
         cw_bits = encode_bits(code, data_bits)
-        if channel == "bsc":
-            flips = jax.random.bernoulli(kn, param, cw_bits.shape)
-            rx = cw_bits ^ flips.astype(jnp.uint8)
-        else:
-            tx = 1.0 - 2.0 * cw_bits.astype(jnp.float32)
-            soft = tx + jax.random.normal(kn, tx.shape, jnp.float32) * param
-            rx = (soft < 0).astype(jnp.uint8)
+        rx = _hard_channel_rx(channel, kn, cw_bits, param)
         # hard_to_llrs convention: bit 1 -> -1, bit 0 -> +1 (decoder.rs:488)
         llrs = 1.0 - 2.0 * rx.astype(jnp.float32)
         if mesh is not None:
             llrs = jax.lax.with_sharding_constraint(llrs, data_s)
-        res = decoder(llrs)
-        data_hat = res.bits[:, : p.k]
-        bit_err = (data_hat != data_bits).sum(dtype=jnp.int32, axis=1)
-        return ChannelStats(
-            trials=jnp.asarray(batch, jnp.int32),
-            bit_errors=bit_err.sum(dtype=jnp.int32),
-            frame_errors=(bit_err > 0).sum(dtype=jnp.int32),
-            decode_failures=(~res.success).sum(dtype=jnp.int32),
-            iterations=res.iterations.sum(dtype=jnp.int32),
-        )
+        return _count_stats(batch, p.k, data_bits, decoder(llrs))
 
     return jax.jit(step)

@@ -81,10 +81,14 @@ class _Checkpoint:
                         continue
                     rec = json.loads(line)
                     if rec.get("kind") == "config":
+                        # keys added after a checkpoint format was already
+                        # in the wild compare against their historical
+                        # default, so old checkpoints stay resumable
+                        defaults = {"decoder": "ms"}
                         mismatched = {
-                            k: (v, rec.get(k))
+                            k: (v, rec.get(k, defaults.get(k)))
                             for k, v in config.items()
-                            if rec.get(k) != v
+                            if rec.get(k, defaults.get(k)) != v
                         }
                         if mismatched:
                             raise ValueError(

@@ -433,3 +433,48 @@ def test_ms_hard_trial_step_semantics():
     sn = make_ms_hard_trial_step("TC512", 64, 50, "ebn0", "layered", mesh)(key, sig)
     for a, b in zip(s1, sn):
         assert int(a) == int(b)
+
+
+def test_uses_pallas_predicate():
+    """The mesh shard_map decision must recognize every impl that builds
+    an opaque pallas_call (round-5 review: the sp impls were missed by
+    the old startswith('pallas') predicate, which would have silently
+    REPLICATED the SP kernel across a mesh instead of sharding it)."""
+    import labrador_ldpc_tpu.channel.awgn as awgn
+
+    assert awgn.uses_pallas("pallas_qc")
+    assert awgn.uses_pallas("pallas_layered")
+    assert awgn.uses_pallas("sp_pallas")
+    assert not awgn.uses_pallas("layered")
+    assert not awgn.uses_pallas("qc")
+    assert not awgn.uses_pallas("sp")  # flooding yardstick is XLA-only
+    # sp_layered serves the kernel exactly when the backend is TPU
+    orig = awgn.jax.default_backend
+    try:
+        awgn.jax.default_backend = lambda: "tpu"
+        assert awgn.uses_pallas("sp_layered")
+        awgn.jax.default_backend = lambda: "cpu"
+        assert not awgn.uses_pallas("sp_layered")
+    finally:
+        awgn.jax.default_backend = orig
+
+
+def test_waterfall_checkpoint_backcompat_decoder_key(tmp_path):
+    """Checkpoints written before the 'decoder' config key existed must
+    resume (missing key compares against the historical default 'ms'),
+    while a bf checkpoint resumed as ms still mismatches loudly."""
+    import json as _json
+
+    kw = dict(batch=32, maxiters=10, max_bits=32 * 64 * 2,
+              max_bit_errors=10**9, seed=3)
+    ck = tmp_path / "old.ckpt"
+    waterfall("TC128", snrs_db=[2.0], checkpoint=str(ck), **kw)
+    # strip the decoder key, emulating a pre-round-5 checkpoint
+    lines = [_json.loads(l) for l in ck.read_text().splitlines()]
+    assert lines[0]["kind"] == "config" and lines[0].pop("decoder") == "ms"
+    ck.write_text("\n".join(_json.dumps(r) for r in lines) + "\n")
+    resumed = waterfall("TC128", snrs_db=[2.0], checkpoint=str(ck), **kw)
+    assert resumed[0].trials == 64  # resumed, not rejected
+    with pytest.raises(ValueError, match="different"):
+        waterfall("TC128", snrs_db=[2.0], checkpoint=str(ck),
+                  decoder="bf", **kw)

@@ -69,27 +69,20 @@ def fer_at(code, surface, p, trials, points_log):
 
 
 def cross_p(code, surface, target, points_log):
-    p = P_START_BF[code] * (3.0 if surface == "ms_hard" else 1.0)
-    trials = BATCH
-    last = None
-    for _ in range(60):
-        fer = fer_at(code, surface, p, trials, points_log)
-        if fer < target:
-            if last is None:
-                p /= SHRINK**4  # started below target — walk back up
-                continue
-            p0, f0 = last
-            if fer <= 0.0:
-                fer = fer_at(code, surface, p, trials * 8, points_log)
-                if fer <= 0.0:
-                    return p0
-            t = (math.log(target) - math.log(f0)) / (math.log(fer) - math.log(f0))
-            return math.exp(math.log(p0) + t * (math.log(p) - math.log(p0)))
-        last = (p, fer)
-        p *= SHRINK
-        want = int(60 / max(fer / 3.0, target))
-        trials = min(max(BATCH, (want // BATCH + 1) * BATCH), 96 * BATCH)
-    raise RuntimeError(f"no crossing for {code}/{surface}")
+    """The generic walker (gen_gap_table.cross_db — round-5 review
+    dedup) on a multiplicative p axis with log-x interpolation."""
+    from gen_gap_table import cross_db
+
+    return cross_db(
+        code, surface, target, points_log,
+        fer_fn=fer_at,
+        start=P_START_BF[code] * (3.0 if surface == "ms_hard" else 1.0),
+        advance=lambda x: x * SHRINK,
+        retreat=lambda x: x / SHRINK**4,
+        interp=lambda x0, x1, t: math.exp(
+            math.log(x0) + t * (math.log(x1) - math.log(x0))
+        ),
+    )
 
 
 def main():

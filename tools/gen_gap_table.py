@@ -86,29 +86,42 @@ def fer_at(code, surface, db, trials, points_log):
     return p.fer
 
 
-def cross_db(code, surface, target, points_log):
-    """Walk down the waterfall to the target FER; interpolate the crossing."""
-    db = MS_START[code] + (0.0 if surface == "ms" else 1.0)
+def cross_db(code, surface, target, points_log, fer_fn=None, start=None,
+             advance=None, retreat=None, interp=None):
+    """Walk toward the target FER; interpolate the crossing.
+
+    Generic over the sweep axis (round-5 review dedup — the BSC
+    threshold walker reuses this with a multiplicative p step and
+    log-x interpolation): `advance(x)` moves toward LOWER FER,
+    `retreat(x)` jumps back ~4 steps when the start overshot,
+    `interp(x0, x1, t)` maps the log-FER crossing fraction t onto the
+    axis. Defaults are the additive 0.25 dB Eb/N0 walk."""
+    fer_fn = fer_fn or fer_at
+    x = (start if start is not None
+         else MS_START[code] + (0.0 if surface == "ms" else 1.0))
+    advance = advance or (lambda v: v + STEP)
+    retreat = retreat or (lambda v: v - 4 * STEP)
+    interp = interp or (lambda x0, x1, t: x0 + t * (x1 - x0))
     trials = BATCH  # coarse while FER is large
     last = None
-    for _ in range(60):  # 15 dB of headroom
+    for _ in range(60):
         # enough trials for ~60 FE at the CURRENT expected magnitude
-        fer = fer_at(code, surface, round(db, 2), trials, points_log)
+        fer = fer_fn(code, surface, round(x, 6), trials, points_log)
         if fer < target:
             if last is None:  # started below target — walk back up
-                db -= 4 * STEP
+                x = retreat(x)
                 continue
-            (db0, f0) = last
+            (x0, f0) = last
             if fer <= 0.0:
                 # no errors observed: re-measure with 8x trials once
-                fer = fer_at(code, surface, round(db, 2), trials * 8,
+                fer = fer_fn(code, surface, round(x, 6), trials * 8,
                              points_log)
                 if fer <= 0.0:
-                    return db0  # conservative
+                    return x0  # conservative
             t = (math.log(target) - math.log(f0)) / (math.log(fer) - math.log(f0))
-            return db0 + t * (db - db0)
-        last = (db, fer)
-        db += STEP
+            return interp(x0, x, t)
+        last = (x, fer)
+        x = advance(x)
         # keep >= ~60 expected FE at the NEXT point (assume ~4x drop/step)
         want = int(60 / max(fer / 4.0, target))
         trials = min(max(BATCH, (want // BATCH + 1) * BATCH), 96 * BATCH)

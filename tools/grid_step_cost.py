@@ -54,29 +54,14 @@ N = 8192
 V = 10240
 
 
+from labrador_ldpc_tpu.utils.timing import pipelined_slope  # noqa: E402
+
+
 def timed_per_dispatch(fn, arg, sync, k=64, reps=3):
-    """Pipelined slope timing (bench.py protocol): trains of k/4, k/2,
-    3k/4, k dispatches, best of reps each; per-dispatch = least-squares
-    SLOPE of time vs count — the constant sync/tunnel round trip cancels
-    in the fit and four points average out per-train jitter (a two-point
-    difference measured NEGATIVE values for ~1 ms dispatches here)."""
-
-    def train(count):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            outs = [fn(arg) for _ in range(count)]
-            sync(outs[-1])
-            best = min(best, time.perf_counter() - t0)
-            del outs
-        return best
-
-    ks = sorted({max(1, k * i // 4) for i in (1, 2, 3, 4)})
-    ts = [train(c) for c in ks]
-    xs = np.asarray(ks, np.float64)
-    ys = np.asarray(ts, np.float64)
-    return float(((xs - xs.mean()) * (ys - ys.mean())).sum()
-                 / ((xs - xs.mean()) ** 2).sum())
+    """Shared pipelined-slope protocol (labrador_ldpc_tpu.utils.timing —
+    a two-point difference measured NEGATIVE values for ~1 ms dispatches
+    through this tunnel, hence the 4-point fit)."""
+    return pipelined_slope(fn, arg, sync, k=k, reps=reps)
 
 
 def minimal_kernel_scan(bts):

@@ -44,22 +44,7 @@ BS = {"TC128": 65536, "TC256": 65536, "TC512": 65536,
       "TM5120": 16384, "TM6144": 16384, "TM8192": 16384}
 
 
-def slope(fn, arg, sync, k=32, reps=3):
-    def train(c):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            outs = [fn(arg) for _ in range(c)]
-            sync(outs[-1])
-            best = min(best, time.perf_counter() - t0)
-            del outs
-        return best
-
-    ks = sorted({max(1, k * i // 4) for i in (1, 2, 3, 4)})
-    ts = [train(c) for c in ks]
-    xs, ys = np.asarray(ks, float), np.asarray(ts, float)
-    return float(((xs - xs.mean()) * (ys - ys.mean())).sum()
-                 / ((xs - xs.mean()) ** 2).sum())
+from labrador_ldpc_tpu.utils.timing import pipelined_slope as slope  # noqa: E402
 
 
 def main():
