@@ -162,7 +162,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--code", default="TM8192")
     ap.add_argument("--impl", default="pallas_layered",
-                    choices=["pallas_layered", "pallas_qc", "pallas_bf"])
+                    choices=["pallas_layered", "pallas_qc", "pallas_bf",
+                             "pallas_sp"])
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--rate", type=float, default=None,
                     help="measured cw*iter/s (ms_iter / bf_iter row) for "
@@ -198,6 +199,14 @@ def main():
         example = jnp.zeros((B, code.n), jnp.uint8)
         text = extract_mosaic_modules(
             lambda: make_bf_decoder_pallas(code, maxiters=50), example
+        )
+    elif args.impl == "pallas_sp":
+        from labrador_ldpc_tpu.ops.pallas_sp import make_sp_decoder_pallas
+
+        B = route.ms_batch_tile  # the SP kernel reuses the ms route tile
+        llrs = jnp.ones((B, code.n), jnp.float32)
+        text = extract_mosaic_modules(
+            lambda: make_sp_decoder_pallas(code, maxiters=50), llrs
         )
     else:
         B = route.ms_batch_tile
