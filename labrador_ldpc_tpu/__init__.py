@@ -37,8 +37,17 @@ from .ops.qc_minsum import (
     make_ms_decoder_qc_int,
 )
 from .ops.pallas_qc import make_ms_decoder_pallas_layered, make_ms_decoder_pallas_qc
-from .ops.bitflip import BFResult, decode_bf, decode_erasures_bits, make_bf_decoder, make_bf_decoder_qc
+from .ops.bitflip import (
+    BFResult,
+    decode_bf,
+    decode_erasures_bits,
+    decode_erasures_mask,
+    make_bf_decoder,
+    make_bf_decoder_qc,
+)
 from .ops.pallas_bf import make_bf_decoder_pallas
+from .ops.pallas_sp import make_sp_decoder_pallas
+from .ops.sumproduct import make_sp_decoder, make_sp_decoder_layered
 
 __version__ = "0.1.0"
 
@@ -50,6 +59,8 @@ __all__ = [
     "make_ms_decoder_qc_int", "make_ms_decoder_layered", "make_ms_decoder_pallas_qc",
     "make_ms_decoder_pallas_layered", "MSResult",
     "decode_bf", "make_bf_decoder", "make_bf_decoder_qc", "make_bf_decoder_pallas",
+    "decode_erasures_mask",
+    "make_sp_decoder", "make_sp_decoder_layered", "make_sp_decoder_pallas",
     "BFResult", "decode_erasures_bits",
     "hard_to_llrs", "llrs_to_hard", "pack_bits", "unpack_bits",
     "__version__",
