@@ -236,6 +236,34 @@ def bench_all(codes, impls, base_batch, reps, results):
             record(label, name, batch * bf_iters / t, "cw_iter/s",
                    maxiters=bf_iters)
 
+        # --- decode_sp: the fused layered sum-product kernel (round-5
+        # quality surface; lane-major codes only — smaller codes serve
+        # the XLA twin and SP is not wanted there). 3-flip protocol with
+        # true-LLR-style +-4 inputs (BP is scale-sensitive; +-4 ~ a
+        # BSC(2%) LLR magnitude, comfortably convergent) ------------------
+        if _want("decode_sp[pallas]"):
+            from labrador_ldpc_tpu.ops.pallas_sp import make_sp_decoder_pallas
+            from labrador_ldpc_tpu.ops.routing import route_for
+
+            if route_for(code).ms_layout == "lane_major":
+                try:
+                    spd = make_sp_decoder_pallas(code, maxiters=50)
+                    sp_llrs = jax.device_put(
+                        hard_to_llrs(cw_j, jnp.float32) * 4.0)
+                    res = spd(sp_llrs)
+                    _sync(res)
+                except Exception as e:  # noqa: BLE001 - report and continue
+                    _skip("decode_sp[pallas]", name,
+                          f"{type(e).__name__}: {e}")
+                else:
+                    if not bool(np.asarray(res.success).all()):
+                        _skip("decode_sp[pallas]", name,
+                              "3-flip batch failed to converge")
+                    else:
+                        t = _timeit(lambda: spd(sp_llrs), reps)
+                        record("decode_sp[pallas]", name, batch / t, "cw/s",
+                               maxiters=50)
+
         # --- decode_ms variants (benches/decode.rs:39-71) ------------------
         for impl, dtype_name in impls:
             if not _want(f"decode_ms[{impl},{dtype_name}]"):
