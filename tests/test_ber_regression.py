@@ -537,3 +537,37 @@ def test_sp_ms_gap_consistent():
     # sign structure: ms wins on short-cycle TC codes, trails on long TM
     assert rows["TC128"][3] < 0 and rows["TC512"][3] < 0
     assert rows["TM8192"][3] > 0 and rows["TM2048"][3] > 0
+
+
+SP_ANCHOR_CSV = ANCHOR_CSV.with_name("ber_regression_points_sp.csv")
+
+
+def test_ber_anchor_sp_layered():
+    """The layered sum-product quality surface (round 5): anchor measured
+    on real TPU with the fused Pallas BP kernel (gen_ber_anchors --sp;
+    582/8192 FE @0.9 dB), rerun here through the bit-exact XLA layered
+    twin (impl='sp_layered' resolves to it off-TPU). Completes the gate
+    matrix: every decode surface — ms f32/int8/int16 (layered +
+    flooding), bf, and now sp — is statistically anchored."""
+    a = _anchors(SP_ANCHOR_CSV)[("TM8192", 0.9)]
+    ci_trials = 1024
+    expected_fe = a["frame_errors"] / a["trials"] * ci_trials
+    assert expected_fe >= 70
+
+    (pt,) = waterfall(
+        "TM8192", [0.9],
+        batch=ci_trials,
+        maxiters=100,
+        max_bits=1,
+        max_bit_errors=10**9,
+        noise_model="ebn0",
+        impl="sp_layered",
+        seed=1,
+    )
+    assert pt.trials == ci_trials
+    lo, hi = expected_fe / BAND, expected_fe * BAND
+    assert lo <= pt.frame_errors <= hi, (
+        f"TM8192@0.9dB sp_layered: {pt.frame_errors} frame errors vs "
+        f"expected {expected_fe:.0f} [{lo:.0f}, {hi:.0f}] — the sum-product "
+        f"quality surface regressed"
+    )

@@ -131,8 +131,40 @@ def main_int(bits: int, flooding: bool):
     print(f"wrote {len(rows)} anchors to {out}")
 
 
+OUT_SP = OUT.with_name("ber_regression_points_sp.csv")
+
+
+def main_sp():
+    """Anchor the layered sum-product quality surface (fused Pallas
+    kernel via impl='sp_pallas') at a TM8192 point with enough frame
+    errors for a reduced-budget CI rerun (0.9 dB: FER ~ 10%; the
+    1.1 dB production point has only ~12/4096 FE — too few to gate).
+    The CI gate reruns through the bit-exact XLA layered twin
+    (impl='sp_layered' resolves to it off-TPU)."""
+    pts = waterfall(
+        "TM8192", [0.9], batch=4096, maxiters=100,
+        max_bits=33_554_432, max_bit_errors=10**9,
+        noise_model="ebn0", impl="sp_pallas",
+        seed=0, verbose=True,
+    )
+    rows = [f"{p.csv()},ebn0,{p.frame_errors}" for p in pts]
+    header = (
+        "# Layered sum-product quality-surface anchor measured on real TPU\n"
+        "# (tools/gen_ber_anchors.py --sp; impl=sp_pallas — the fused\n"
+        "# layered BP kernel — true-LLR scaling in the trial step,\n"
+        "# maxiters=100, batch=4096, 8192 trials, seed 0). Gated in\n"
+        "# tests/test_ber_regression.py via the bit-exact XLA layered twin.\n"
+        "# Columns: code,snr_db,trials,data_bits,bit_errors,ber,noise_model,"
+        "frame_errors\n"
+    )
+    OUT_SP.write_text(header + "\n".join(rows) + "\n")
+    print(f"wrote {len(rows)} anchors to {OUT_SP}")
+
+
 if __name__ == "__main__":
-    if "--i8-flooding" in sys.argv:
+    if "--sp" in sys.argv:
+        main_sp()
+    elif "--i8-flooding" in sys.argv:
         main_int(8, flooding=True)
     elif "--i8" in sys.argv:
         main_int(8, flooding=False)
