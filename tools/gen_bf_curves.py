@@ -51,7 +51,9 @@ def run_curve(code, xs, trials_per_point, decoder, noise_model, maxiters, out,
     batch = 8192
     rows = []
     for x, tp in zip(xs, trials_per_point):
-        k = {"TC512": 256, "TM1280": 1024, "TM8192": 4096}[code]
+        k = {"TC512": 256, "TM1280": 1024, "TM1536": 1024,
+             "TM2048": 1024, "TM5120": 4096, "TM6144": 4096,
+             "TM8192": 4096}[code]
         pts = waterfall(
             code, [x], batch=batch, maxiters=maxiters,
             max_bits=tp * k, max_bit_errors=10**9,
@@ -149,12 +151,34 @@ def main():
          "bf", "bec", 50, RESULTS / "waterfall_bf_tm1280_bec.csv",
          "Bit-flip FER/BER vs BEC erasure probability f, TM1280", "f"),
         # BEC(f) behaves like BSC(f/2) for this decoder (erased true-0
-        # bits are free), so the TM8192 grid sits at 2x the BSC knee
+        # bits are free), so each grid sits at ~2x the code's BSC knee
+        # (bsc_thresholds.csv); together the six punctured TM codes give
+        # the full-family statistical validation of the erasure pass
         ("TM8192", [0.002, 0.003, 0.004, 0.006, 0.008, 0.012],
          [T * (96 if deep else 1), T * (48 if deep else 1),
           T * (24 if deep else 1), T * (4 if deep else 1), T * 2, T],
          "bf", "bec", 50, RESULTS / "waterfall_bf_tm8192_bec.csv",
          "Bit-flip FER/BER vs BEC erasure probability f, TM8192", "f"),
+        ("TM1536", [0.003, 0.005, 0.008, 0.012, 0.018, 0.025],
+         [T * (48 if deep else 1), T * (16 if deep else 1),
+          T * (4 if deep else 1), T * 2, T, T],
+         "bf", "bec", 50, RESULTS / "waterfall_bf_tm1536_bec.csv",
+         "Bit-flip FER/BER vs BEC erasure probability f, TM1536", "f"),
+        ("TM2048", [0.003, 0.005, 0.008, 0.012, 0.018, 0.025],
+         [T * (48 if deep else 1), T * (16 if deep else 1),
+          T * (4 if deep else 1), T * 2, T, T],
+         "bf", "bec", 50, RESULTS / "waterfall_bf_tm2048_bec.csv",
+         "Bit-flip FER/BER vs BEC erasure probability f, TM2048", "f"),
+        ("TM5120", [0.002, 0.003, 0.005, 0.008, 0.011, 0.015],
+         [T * (48 if deep else 1), T * (24 if deep else 1),
+          T * (8 if deep else 1), T * 2, T, T],
+         "bf", "bec", 50, RESULTS / "waterfall_bf_tm5120_bec.csv",
+         "Bit-flip FER/BER vs BEC erasure probability f, TM5120", "f"),
+        ("TM6144", [0.002, 0.003, 0.005, 0.008, 0.011, 0.015],
+         [T * (48 if deep else 1), T * (24 if deep else 1),
+          T * (8 if deep else 1), T * 2, T, T],
+         "bf", "bec", 50, RESULTS / "waterfall_bf_tm6144_bec.csv",
+         "Bit-flip FER/BER vs BEC erasure probability f, TM6144", "f"),
         # min-sum on HARD-sliced channel output: the decode_ms side of the
         # reference's own BF-vs-MS framing (both decoders over
         # hard_to_llrs input, src/lib.rs:160-172); bf minus THIS curve is
