@@ -92,3 +92,21 @@ def test_sp_impl_registry_routing():
     r1 = dec(llrs)
     r2 = make_sp_decoder_layered(c, 10)(llrs)
     np.testing.assert_array_equal(np.asarray(r1.bits), np.asarray(r2.bits))
+
+
+def test_pallas_sp_padding_and_maxiters_edge():
+    """Batch padding (batch not a tile multiple) and the maxiters=1
+    edge (peeled iteration only, while_loop never entered) — both must
+    match the XLA twin bit-for-bit."""
+    code = get_code("TM2048")
+    _, llrs = _true_llrs(code, 5, 13, 0.7)  # 5 rows, tile 2 -> pad 1
+    t = make_sp_decoder_layered(code, 6)(llrs)
+    k = make_sp_decoder_pallas(code, 6, batch_tile=2, interpret=True)(llrs)
+    np.testing.assert_array_equal(np.asarray(t.bits), np.asarray(k.bits))
+    np.testing.assert_array_equal(np.asarray(t.success), np.asarray(k.success))
+    t1 = make_sp_decoder_layered(code, 1)(llrs)
+    k1 = make_sp_decoder_pallas(code, 1, batch_tile=2, interpret=True)(llrs)
+    np.testing.assert_array_equal(np.asarray(t1.bits), np.asarray(k1.bits))
+    np.testing.assert_array_equal(
+        np.asarray(t1.iterations), np.asarray(k1.iterations)
+    )
